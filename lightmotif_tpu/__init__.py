@@ -1,0 +1,105 @@
+"""lightmotif-tpu: a TPU-native motif scanning engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capability set of the
+``lightmotif`` reference library: PWM/PSSM construction with
+pseudocounts and backgrounds, exact-f32 sequence scoring, max / argmax /
+threshold reductions, a two-pass discrete scanner, score<->p-value
+conversion (MEME CDF and exact TFM-PVALUE), motif-format parsers
+(JASPAR / TRANSFAC / MEME / UniPROBE), a Gibbs sampler for motif
+discovery, a FIMO-like CLI, and data-parallel genome scanning over TPU
+device meshes.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+from .alphabet import (
+    DNA,
+    PROTEIN,
+    Alphabet,
+    Background,
+    InvalidDataError,
+    InvalidSymbolError,
+    Pseudocounts,
+)
+from .matrix import (
+    CountMatrix,
+    DiscreteMatrix,
+    FrequencyMatrix,
+    ScoringMatrix,
+    WeightMatrix,
+)
+from .dist import ScoreDistribution
+from .scores import Scores, StripedScores
+from .sequence import EncodedSequence, StripedSequence
+
+__all__ = [
+    "DNA",
+    "PROTEIN",
+    "Alphabet",
+    "Background",
+    "Pseudocounts",
+    "InvalidDataError",
+    "InvalidSymbolError",
+    "CountMatrix",
+    "FrequencyMatrix",
+    "WeightMatrix",
+    "ScoringMatrix",
+    "DiscreteMatrix",
+    "ScoreDistribution",
+    "Scores",
+    "StripedScores",
+    "EncodedSequence",
+    "StripedSequence",
+    "create",
+    "stripe",
+    "scan",
+    "Motif",
+]
+
+
+# -- convenience API (parity with lightmotif-py ``lib.rs:1351-1470``) --------
+
+
+class Motif:
+    """A named motif: counts + weights + scoring matrix."""
+
+    __slots__ = ("counts", "pwm", "pssm", "name")
+
+    def __init__(self, counts=None, pwm=None, pssm=None, name=None):
+        self.counts = counts
+        self.pwm = pwm
+        self.pssm = pssm
+        self.name = name
+
+
+def create(sequences, protein: bool = False, name: str | None = None) -> Motif:
+    """Create a motif from aligned sequence strings.
+
+    Parity note: like the reference's Python ``create()``
+    (``lightmotif-py/lightmotif/lib.rs:1351-1400``), this uses a **zero**
+    pseudocount and the uniform background.
+    """
+    alphabet = PROTEIN if protein else DNA
+    encoded = [EncodedSequence.encode(s, alphabet) for s in sequences]
+    counts = CountMatrix.from_sequences(encoded)
+    pwm = counts.to_freq(0.0).to_weight(None)
+    pssm = pwm.to_scoring()
+    return Motif(counts=counts, pwm=pwm, pssm=pssm, name=name)
+
+
+def stripe(sequence, protein: bool = False) -> StripedSequence:
+    """Encode and stripe a text sequence."""
+    alphabet = PROTEIN if protein else DNA
+    return EncodedSequence.encode(sequence, alphabet).to_striped()
+
+
+def scan(pssm, sequence, threshold: float = 0.0, block_size: int | None = None):
+    """Iterate hits of ``pssm`` on ``sequence`` at ``threshold``."""
+    from .scanner import Scanner
+
+    scanner = Scanner(pssm, sequence, threshold=threshold)
+    if block_size is not None:
+        scanner.block_size = block_size
+    return scanner

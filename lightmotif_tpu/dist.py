@@ -1,0 +1,150 @@
+"""Discretized score distribution for p-value estimation (MEME method).
+
+Parity with the reference (``lightmotif/src/pwm/dist.rs``): the PSSM is
+rescaled position-independently into an integer range of ``CDF_RANGE``
+(=1000) per row, a PDF is built by dynamic programming over motif
+positions weighted by background frequencies, and the survival function
+gives ``pvalue(score)`` / ``score(pvalue)``.
+
+The DP is dense and regular -- a few (rows * 1000)-sized float64 vector
+ops per motif row -- so it is implemented with vectorized NumPy on the
+host.  It runs once per matrix and is cached by callers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["ScoreDistribution", "CDF_RANGE"]
+
+#: Default CDF approximation range used in MEME (``dist.rs:47``).
+CDF_RANGE = 1000
+
+
+class ScoreDistribution:
+    """An approximate distribution of the scores of a scoring matrix."""
+
+    __slots__ = (
+        "alphabet",
+        "scale_",
+        "offset_",
+        "range_",
+        "data",
+        "sf_",
+        "min_score_",
+        "max_score_",
+    )
+
+    def __init__(self, pssm):
+        alphabet = pssm.alphabet
+        mat = np.asarray(pssm.data, dtype=np.float32)
+        k = alphabet.size
+        rows = mat.shape[0]
+
+        finite = mat[np.isfinite(mat)]
+        if finite.size == 0:
+            raise ValueError("scoring matrix has no finite values")
+        small = float(finite.min())
+        large = float(finite.max())
+        if small == large:
+            small = large - 1.0
+
+        offset = np.floor(small)
+        scale = np.floor(CDF_RANGE / (large - offset))
+
+        # Discretized matrix: round((x - offset) * scale); -inf stays a
+        # sentinel (the reference's `as i32` saturates -inf to i32::MIN,
+        # and the DP skips i32::MIN cells).
+        data = np.empty((rows, k), dtype=np.int64)
+        NEG = np.iinfo(np.int32).min
+        with np.errstate(invalid="ignore"):
+            scaled = np.round((mat.astype(np.float64) - offset) * scale)
+        for i in range(rows):
+            for j in range(k):
+                v = scaled[i, j]
+                data[i, j] = NEG if not np.isfinite(v) else int(v)
+
+        # -- PDF by dynamic programming (``dist.rs:163-191``) -------------
+        size = rows * CDF_RANGE + 1
+        bg = np.asarray(pssm.background.frequencies, dtype=np.float64)
+        pdf_new = np.zeros(size, dtype=np.float64)
+        pdf_new[0] = 1.0
+        for i in range(rows):
+            max_reach = i * CDF_RANGE
+            pdf_old = pdf_new
+            pdf_new = np.zeros(size, dtype=np.float64)
+            window = pdf_old[: max_reach + 1]
+            for a in range(k):
+                s = data[i, a]
+                if s != NEG:
+                    pdf_new[s : s + max_reach + 1] += window * bg[a]
+
+        # -- survival function (``dist.rs:196-213``) ----------------------
+        sf = pdf_new
+        min_score = 0
+        max_score = 0
+        for i in range(size - 2, -1, -1):
+            p_next = sf[i + 1]
+            p_i = sf[i]
+            sf[i] = min(p_i + p_next, 1.0)
+            if max_score == 0 and p_next > 0.0:
+                max_score = i + 1
+            if p_i > 0.0:
+                min_score = i
+
+        self.alphabet = alphabet
+        self.scale_ = float(scale)
+        self.offset_ = int(offset)
+        self.range_ = CDF_RANGE
+        self.data = data
+        self.sf_ = sf
+        self.min_score_ = int(min_score)
+        self.max_score_ = int(max_score)
+
+    # -- scaling (``dist.rs:75-87``) -----------------------------------------
+
+    def sf(self) -> np.ndarray:
+        return self.sf_
+
+    def scale(self, score: float) -> int:
+        w = self.data.shape[0]
+        return int(round((float(score) - w * self.offset_) * self.scale_))
+
+    def unscale(self, score: int) -> float:
+        w = self.data.shape[0]
+        return float(
+            np.float32(
+                np.float32(score) / np.float32(self.scale_)
+                + np.float32(w * self.offset_)
+            )
+        )
+
+    # -- queries (``dist.rs:89-127``) ---------------------------------------
+
+    def pvalue(self, score: float) -> float:
+        scaled = self.scale(score)
+        if scaled < self.min_score_:
+            return 1.0
+        if scaled >= len(self.sf_):
+            return 0.0
+        return float(self.sf_[scaled])
+
+    def score(self, pvalue: float) -> float:
+        if pvalue >= 1.0:
+            return self.unscale(self.min_score_)
+        if pvalue <= 0.0:
+            return self.unscale(self.max_score_)
+        # self.sf_ is non-increasing; find insertion point in the same way
+        # as Rust binary_search_by over a descending array.
+        # searchsorted on the reversed (ascending) array:
+        n = len(self.sf_)
+        idx = n - int(np.searchsorted(self.sf_[::-1], pvalue, side="left"))
+        return self.unscale(idx)
+
+    def min_pvalue(self) -> float:
+        return float(self.sf_[self.max_score_])
+
+    def sample(self, rng) -> float:
+        """Draw a random score (``dist.rs:227-234``); ``rng`` is a
+        ``numpy.random.Generator``."""
+        return self.score(float(rng.uniform(0.0, 1.0)))

@@ -1,0 +1,156 @@
+"""The compute pipeline: host objects in, device results out.
+
+This is the TPU analogue of the reference's ``Pipeline`` + runtime
+dispatch (``lightmotif/src/pli/mod.rs``, ``pli/dispatch.rs``).  Instead
+of CPU-feature dispatch it selects between device backends:
+
+* ``"xla"``   -- pure jnp programs (:mod:`lightmotif_tpu.ops.xla_ops`);
+* ``"pallas"``-- hand-written Pallas TPU kernels for the hot loops
+  (:mod:`lightmotif_tpu.ops.kernels`), falling back to XLA off-TPU.
+
+Compiled executables are cached per (motif length, alphabet size,
+padded sequence length) so repeated scans hit the jit cache.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scores import Scores, StripedScores
+from ..sequence import EncodedSequence, StripedSequence
+from . import xla_ops
+
+__all__ = ["Pipeline", "default_pipeline", "score"]
+
+
+def _platform() -> str:
+    return jax.devices()[0].platform
+
+
+class DeviceSequence:
+    """A padded device-resident encoded sequence.
+
+    Padding symbols are the alphabet wildcard, so padded windows score
+    like the reference's wrap rows (which are also wildcard-filled).
+    """
+
+    __slots__ = ("alphabet", "length", "data")
+
+    def __init__(self, encoded: EncodedSequence, pad_multiple: int | None = None):
+        self.alphabet = encoded.alphabet
+        self.length = len(encoded)
+        lp = xla_ops.pad_length(
+            self.length, pad_multiple or xla_ops.PAD_MULTIPLE
+        )
+        host = np.full(lp, encoded.alphabet.default_index, dtype=np.int8)
+        host[: self.length] = encoded.data
+        self.data = jax.device_put(host)
+
+
+def _as_device_seq(seq) -> DeviceSequence:
+    if isinstance(seq, DeviceSequence):
+        return seq
+    if isinstance(seq, StripedSequence):
+        seq = seq.unstripe()
+    if isinstance(seq, EncodedSequence):
+        return DeviceSequence(seq)
+    raise TypeError(f"cannot score {type(seq).__name__}")
+
+
+class Pipeline:
+    """Scoring pipeline with backend dispatch and executable caching."""
+
+    def __init__(self, backend: str | None = None):
+        if backend is None:
+            backend = os.environ.get("LIGHTMOTIF_TPU_BACKEND", "auto")
+        if backend == "auto":
+            backend = "pallas" if _platform() in ("tpu", "axon") else "xla"
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+
+    # -- jitted programs ------------------------------------------------------
+
+    @staticmethod
+    @functools.lru_cache(maxsize=64)
+    def _score_fn(backend: str, n_scores: int):
+        if backend == "pallas":
+            from . import kernels
+
+            def fn(seq, pssm):
+                return kernels.score_f32(seq, pssm, n_scores)
+
+        else:
+
+            def fn(seq, pssm):
+                return xla_ops.score_f32(seq, pssm, n_scores)
+
+        return jax.jit(fn)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=64)
+    def _dscore_fn(backend: str, n_scores: int):
+        if backend == "pallas":
+            from . import kernels
+
+            def fn(seq, dm):
+                return kernels.score_u8(seq, dm, n_scores)
+
+        else:
+
+            def fn(seq, dm):
+                return xla_ops.score_u8(seq, dm, n_scores)
+
+        return jax.jit(fn)
+
+    # -- public ops -----------------------------------------------------------
+
+    def score(self, pssm, seq) -> StripedScores:
+        """f32 scores of every position (reference ``Score`` trait)."""
+        dseq = _as_device_seq(seq)
+        m = len(pssm)
+        n = max(dseq.length - m + 1, 0)
+        if n == 0:
+            return StripedScores(np.zeros(0, np.float32), 0)
+        pssm_dev = jnp.asarray(np.asarray(pssm.data, dtype=np.float32))
+        out = self._score_fn(self.backend, n)(dseq.data, pssm_dev)
+        return StripedScores(np.asarray(jax.device_get(out))[:n], n)
+
+    def score_discrete(self, dm, seq) -> StripedScores:
+        """int32 over-estimating discrete scores (reference u8 path)."""
+        dseq = _as_device_seq(seq)
+        m = len(dm)
+        n = max(dseq.length - m + 1, 0)
+        if n == 0:
+            return StripedScores(np.zeros(0, np.int32), 0)
+        dm_dev = jnp.asarray(np.asarray(dm.data, dtype=np.uint8))
+        out = self._dscore_fn(self.backend, n)(dseq.data, dm_dev)
+        return StripedScores(np.asarray(jax.device_get(out))[:n], n)
+
+    def max(self, scores: StripedScores):
+        return scores.max()
+
+    def argmax(self, scores: StripedScores):
+        return scores.argmax()
+
+    def threshold(self, scores: StripedScores, value) -> list:
+        return scores.threshold(value)
+
+
+_DEFAULT: Pipeline | None = None
+
+
+def default_pipeline() -> Pipeline:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = Pipeline()
+    return _DEFAULT
+
+
+def score(pssm, seq) -> StripedScores:
+    return default_pipeline().score(pssm, seq)

@@ -1,0 +1,201 @@
+"""Pure-XLA compute primitives for PSSM scanning.
+
+These are the *reference* device implementations: correct, jittable, and
+reasonably fast.  The Pallas kernels in :mod:`lightmotif_tpu.ops.kernels`
+must match them bit-for-bit (they are the TPU analogue of the reference's
+"generic backend parity" test pattern, ``lightmotif/tests/dna.rs``).
+
+Design notes (TPU-first):
+
+* sequences are flat padded ``int8`` arrays -- no Farrar striping; XLA
+  picks layouts, and halo handling is a static-offset slice;
+* f32 scoring selects PSSM entries with a K-way ``where`` chain (exact --
+  no matmul rounding) and accumulates the ``m`` motif-row terms with an
+  in-order chain of f32 adds, reproducing the reference's sequential
+  summation (``pli/mod.rs:96-105``) so scores are bit-identical;
+* the discrete pre-filter one-hot-encodes the sequence to ``int8`` and
+  multiplies with the u8 matrix on the MXU, accumulating in ``int32``.
+  The int32 sum upper-bounds the reference's saturating-u8 sum, which
+  itself upper-bounds the f32 score, so the over-estimate invariant of
+  the two-pass scan (``pwm/mod.rs:722-730``) is preserved;
+* variable-length hit lists use fixed-capacity compaction
+  (``jnp.nonzero(..., size=cap)``) with an exact count for overflow
+  detection and host-side retry.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pad_length",
+    "score_f32",
+    "score_u8",
+    "max_last",
+    "argmax_last",
+    "threshold_positions",
+    "rescore_positions",
+    "scan_block",
+]
+
+#: Pad sequences to a multiple of this many positions (one f32 VREG row
+#: of 8x128, times 8 for good measure).
+PAD_MULTIPLE = 8192
+
+
+def pad_length(n: int, multiple: int = PAD_MULTIPLE) -> int:
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+
+def lookup_rows(seq: jax.Array, pssm: jax.Array) -> jax.Array:
+    """``P[j, p] = pssm[j, seq[p]]`` via an exact K-way select chain.
+
+    ``seq``: int8/int32 ``[L]``; ``pssm``: ``[m, K]`` (f32 or int32).
+    Returns ``[m, L]``.  The select chain is exact (no arithmetic), so
+    f32 parity is preserved.
+    """
+    k = pssm.shape[1]
+    seq = seq.astype(jnp.int32)
+    # default: wildcard (rank K-1)
+    out = jnp.broadcast_to(pssm[:, k - 1][:, None], (pssm.shape[0], seq.shape[0]))
+    for sym in range(k - 2, -1, -1):
+        out = jnp.where(seq[None, :] == sym, pssm[:, sym][:, None], out)
+    return out
+
+
+def score_f32(seq: jax.Array, pssm: jax.Array, n_scores: int) -> jax.Array:
+    """Score every window start; exact f32 parity with the reference.
+
+    ``seq``: padded int8 ``[Lp]`` (padding = wildcard); ``pssm``:
+    f32 ``[m, K]``; ``n_scores``: number of valid positions
+    (``len - m + 1``).  Returns f32 ``[Lp]`` where positions >=
+    ``n_scores`` are ``-inf``.
+    """
+    m = pssm.shape[0]
+    lp = seq.shape[0]
+    lut = lookup_rows(seq, pssm)  # [m, Lp]
+    acc = lut[0]
+    for j in range(1, m):
+        # shift row j left by j: term[p] = pssm[j, seq[p+j]]
+        term = jnp.concatenate([lut[j, j:], jnp.zeros((j,), lut.dtype)])
+        acc = acc + term
+    pos = jax.lax.broadcasted_iota(jnp.int32, (lp,), 0)
+    return jnp.where(pos < n_scores, acc, -jnp.inf)
+
+
+def score_u8(seq: jax.Array, dm: jax.Array, n_scores: int) -> jax.Array:
+    """Discrete pre-filter scores in int32 (>= the reference u8 scores).
+
+    ``dm``: uint8 ``[m, K]`` discrete matrix.  Uses a one-hot MXU
+    matmul: ``P = onehot(seq) @ dm.T`` accumulated in int32, then a
+    static banded sum ``score[p] = sum_j P[p+j, j]``.  Invalid positions
+    get ``-1``.
+    """
+    m, k = dm.shape
+    lp = seq.shape[0]
+    # One-hot in bf16 (0/1 exact) against the u8 matrix in bf16 (ints
+    # 0..255 are exact in bf16), f32 accumulation: every partial product
+    # and sum is an exactly-representable integer, so the MXU matmul is
+    # exact while running at full bf16 rate.
+    onehot = (
+        seq.astype(jnp.int32)[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    ).astype(jnp.bfloat16)
+    p = jax.lax.dot_general(
+        onehot,
+        dm.astype(jnp.bfloat16).T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # [Lp, m]
+    acc = p[:, 0]
+    for j in range(1, m):
+        term = jnp.concatenate([p[j:, j], jnp.zeros((j,), jnp.int32)])
+        acc = acc + term
+    pos = jax.lax.broadcasted_iota(jnp.int32, (lp,), 0)
+    return jnp.where(pos < n_scores, acc, -1)
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+
+def max_last(scores: jax.Array) -> jax.Array:
+    return jnp.max(scores)
+
+
+def argmax_last(scores: jax.Array) -> jax.Array:
+    """Index of the maximum; *last* occurrence wins (reference ``>=``
+    tie rule)."""
+    m = jnp.max(scores)
+    pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    return jnp.max(jnp.where(scores == m, pos, -1))
+
+
+def threshold_positions(scores: jax.Array, threshold, cap: int):
+    """Fixed-capacity compaction of ``scores >= threshold``.
+
+    Returns ``(count, indices[cap])`` where unused slots are filled with
+    ``scores.shape[0]`` (an out-of-range sentinel).  If ``count > cap``
+    the caller must retry with a larger capacity.
+    """
+    mask = scores >= threshold
+    count = jnp.sum(mask.astype(jnp.int32))
+    (idx,) = jnp.nonzero(mask, size=cap, fill_value=scores.shape[0])
+    return count, idx.astype(jnp.int32)
+
+
+def rescore_positions(seq: jax.Array, pssm: jax.Array, positions: jax.Array):
+    """Exact f32 scores of selected window starts.
+
+    ``positions``: int32 ``[cap]`` (may contain out-of-range sentinels --
+    callers must mask).  Sequential j-order adds for parity with
+    ``ScoringMatrix::score_position`` (``pwm/mod.rs:651-662``).
+    """
+    m = pssm.shape[0]
+    lp = seq.shape[0]
+    safe = jnp.minimum(positions, lp - m)
+    safe = jnp.maximum(safe, 0)
+    acc = jnp.zeros(positions.shape, jnp.float32)
+    for j in range(m):
+        sym = seq[safe + j].astype(jnp.int32)
+        k = pssm.shape[1]
+        val = jnp.broadcast_to(pssm[j, k - 1], positions.shape)
+        for s in range(k - 2, -1, -1):
+            val = jnp.where(sym == s, pssm[j, s], val)
+        acc = acc + val
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# fused scan step
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_scores", "cap"))
+def scan_block(seq, dm, pssm, t_scaled, threshold, n_scores: int, cap: int):
+    """One-shot two-pass scan of a (padded) sequence.
+
+    1. int32 discrete scores on the MXU (over-estimate);
+    2. candidate compaction at the scaled threshold;
+    3. exact f32 rescore of candidates;
+    4. final mask at the f32 threshold.
+
+    Returns ``(count, positions[cap], scores[cap], keep[cap])``:
+    ``count`` is the number of *discrete* candidates (for overflow
+    detection), ``keep`` marks candidates passing the f32 threshold.
+    """
+    dscores = score_u8(seq, dm, n_scores)
+    count, idx = threshold_positions(dscores, t_scaled, cap)
+    fscores = rescore_positions(seq, pssm, idx)
+    keep = (idx < n_scores) & (fscores >= threshold)
+    return count, idx, fscores, keep

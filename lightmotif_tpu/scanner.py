@@ -1,0 +1,168 @@
+"""Two-pass thresholded scanner.
+
+TPU re-design of the reference ``Scanner`` (``lightmotif/src/scan.rs``):
+the cheap quantized pre-filter and the exact f32 rescore are *fused into
+one jitted device program* (``ops.xla_ops.scan_block``) instead of a
+host loop over 256-row blocks:
+
+1. int32 discrete scores for every position via a one-hot MXU matmul
+   (an over-estimate of the f32 score, like the reference's u8 matrix);
+2. fixed-capacity compaction of candidates above the scaled threshold;
+3. exact f32 rescore of the candidates (sequential-order adds);
+4. final f32 threshold mask.
+
+Variable-length output is handled with capacity doubling: if the
+candidate count overflows the compaction buffer, the segment is
+re-scanned with a larger one.  Long sequences are processed in fixed
+size segments with a (motif_len - 1)-position halo -- the same overlap
+rule as the reference's wrap rows (``seq.rs:369-381``) -- so device
+memory stays bounded and compiled programs are reused across segments.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .matrix import ScoringMatrix
+from .ops import xla_ops
+from .ops.pipeline import DeviceSequence, _as_device_seq
+from .sequence import EncodedSequence, StripedSequence
+
+__all__ = ["Hit", "Scanner"]
+
+#: Number of positions scored per device invocation.
+DEFAULT_SEGMENT = 1 << 22
+
+#: Initial candidate-buffer capacity per segment.
+DEFAULT_CAPACITY = 1 << 16
+
+
+@functools.total_ordering
+class Hit:
+    """A scored position (reference ``scan.rs:53-92``): ordered by
+    (score, position)."""
+
+    __slots__ = ("position", "score")
+
+    def __init__(self, position: int, score: float):
+        if np.isnan(score):
+            raise ValueError("hit score cannot be NaN")
+        self.position = int(position)
+        self.score = float(score)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Hit)
+            and other.position == self.position
+            and other.score == self.score
+        )
+
+    def __lt__(self, other) -> bool:
+        if self.score != other.score:
+            return self.score < other.score
+        return self.position < other.position
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Hit(position={self.position}, score={self.score})"
+
+
+class Scanner:
+    """Iterator over hits of a PSSM in a sequence above a threshold."""
+
+    def __init__(
+        self,
+        pssm: ScoringMatrix,
+        seq,
+        threshold: float = 0.0,
+        block_size: int = DEFAULT_SEGMENT,
+        capacity: int = DEFAULT_CAPACITY,
+    ):
+        self.pssm = pssm
+        self.dm = pssm.to_discrete()
+        self.seq = seq
+        self.threshold = float(threshold)
+        self.block_size = int(block_size)
+        self.capacity = int(capacity)
+        self._dseq = _as_device_seq(seq)
+
+    # -- internals ----------------------------------------------------------
+
+    def _scan_segments(self):
+        """Yield (positions, scores) arrays of accepted hits per segment."""
+        import jax
+        import jax.numpy as jnp
+
+        dseq = self._dseq
+        m = len(self.pssm)
+        n_total = max(dseq.length - m + 1, 0)
+        if n_total == 0:
+            return
+
+        pssm_dev = jnp.asarray(np.asarray(self.pssm.data, dtype=np.float32))
+        dm_dev = jnp.asarray(np.asarray(self.dm.data, dtype=np.uint8))
+        t_scaled = np.int32(self.dm.scale(self.threshold))
+
+        seg = min(self.block_size, xla_ops.pad_length(n_total))
+        seg = xla_ops.pad_length(seg, xla_ops.PAD_MULTIPLE)
+        lp = int(dseq.data.shape[0])
+
+        off = 0
+        while off < n_total:
+            n_here = min(seg, n_total - off)
+            # slice segment + halo (m-1 extra symbols), fixed shape
+            if off + seg + m - 1 <= lp:
+                chunk = jax.lax.dynamic_slice(dseq.data, (off,), (seg + m - 1,))
+            else:
+                pad = off + seg + m - 1 - lp
+                chunk = jnp.concatenate(
+                    [
+                        jax.lax.dynamic_slice(dseq.data, (off,), (lp - off,)),
+                        jnp.full((pad,), self.pssm.alphabet.default_index, jnp.int8),
+                    ]
+                )
+            cap = self.capacity
+            while True:
+                count, idx, fscores, keep = xla_ops.scan_block(
+                    chunk,
+                    dm_dev,
+                    pssm_dev,
+                    t_scaled,
+                    np.float32(self.threshold),
+                    n_here,
+                    cap,
+                )
+                count = int(count)
+                if count <= cap:
+                    break
+                cap = max(cap * 2, count)
+            idx = np.asarray(idx)
+            keep = np.asarray(keep)
+            fscores = np.asarray(fscores)
+            sel = keep.nonzero()[0]
+            if sel.size:
+                yield idx[sel] + off, fscores[sel]
+            off += seg
+
+    # -- public API -----------------------------------------------------------
+
+    def __iter__(self):
+        for positions, scores in self._scan_segments():
+            order = np.argsort(positions, kind="stable")
+            for p, s in zip(positions[order], scores[order]):
+                yield Hit(int(p), float(s))
+
+    def collect(self) -> list:
+        return list(self)
+
+    def max(self):
+        """Best hit at or above the threshold; ties resolve to the
+        larger position (``scan.rs:200-249``)."""
+        best = None
+        for positions, scores in self._scan_segments():
+            i = int(np.lexsort((positions, scores))[-1])
+            cand = Hit(int(positions[i]), float(scores[i]))
+            if best is None or cand > best:
+                best = cand
+        return best

@@ -1,0 +1,159 @@
+import numpy as np
+import pytest
+
+from lightmotif_tpu import (
+    DNA,
+    CountMatrix,
+    EncodedSequence,
+    InvalidDataError,
+)
+
+from .data import PATTERNS, SEQUENCE, build_pssm
+
+
+def test_from_sequences_mismatched():
+    # pwm/mod.rs:198-208 doctest
+    with pytest.raises(InvalidDataError):
+        CountMatrix.from_sequences(
+            [
+                EncodedSequence.encode("TTAT"),
+                EncodedSequence.encode("TCA"),
+            ]
+        )
+
+
+def test_count_matrix_values():
+    cm = CountMatrix.from_sequences(EncodedSequence.encode(p) for p in PATTERNS)
+    assert len(cm) == 15
+    assert cm.sequence_count() == 2
+    # First position of both patterns is G (rank 3)
+    assert cm.data[0].tolist() == [0, 0, 0, 2, 0]
+    # Position 5: C and T
+    assert cm.data[5].tolist() == [0, 1, 1, 0, 0]
+
+
+def test_to_freq():
+    cm = CountMatrix.from_sequences(EncodedSequence.encode(p) for p in PATTERNS)
+    freq = cm.to_freq(0.0)
+    assert freq.data[0].tolist() == [0.0, 0.0, 0.0, 1.0, 0.0]
+    sums = freq.data.sum(axis=1)
+    assert np.allclose(sums, 1.0)
+
+    freq01 = cm.to_freq(0.1)
+    # row 0: counts [0,0,0,2,0] + [.1,.1,.1,.1,0] = [.1,.1,.1,2.1,0]/2.4
+    assert freq01.data[0] == pytest.approx(
+        [0.1 / 2.4, 0.1 / 2.4, 0.1 / 2.4, 2.1 / 2.4, 0.0], rel=1e-6
+    )
+
+
+def test_min_max_score():
+    pssm = build_pssm()
+    # min/max exclude the wildcard column (pwm/mod.rs:592-615)
+    assert pssm.max_score() > pssm.min_score()
+    k = DNA.size
+    expected_max = np.float32(0.0)
+    for row in pssm.data:
+        expected_max = np.float32(expected_max + row[: k - 1].max())
+    assert pssm.max_score() == pytest.approx(float(expected_max))
+
+
+def test_reverse_complement():
+    cm = CountMatrix.from_sequences(EncodedSequence.encode(p) for p in PATTERNS)
+    rc = cm.reverse_complement()
+    assert len(rc) == len(cm)
+    # First row of rc = complement of last row of cm
+    last = cm.data[-1]
+    perm = DNA.complement_permutation
+    assert rc.data[0].tolist() == last[perm].tolist()
+    # double complement is identity
+    assert np.array_equal(rc.reverse_complement().data, cm.data)
+
+
+def test_pssm_reverse_complement_scores():
+    # scoring the reverse complement of the sequence with the rc PSSM
+    # gives the same scores, reversed
+    pssm = build_pssm()
+    seq = EncodedSequence.encode(SEQUENCE)
+    rc_seq = seq.reverse_complement()
+    rc_pssm = pssm.reverse_complement()
+    m = len(pssm)
+    n = len(seq) - m + 1
+    fwd = [pssm.score_position(seq, i) for i in range(n)]
+    rev = [rc_pssm.score_position(rc_seq, i) for i in range(n)]
+    assert fwd == pytest.approx(rev[::-1], abs=1e-4)
+
+
+def test_discrete_overestimates():
+    # pwm/mod.rs:732-752 doctest: u8 scores always >= f32 scores
+    pssm = build_pssm()
+    dm = pssm.to_discrete()
+    seq = EncodedSequence.encode(SEQUENCE)
+    for i in range(len(seq) - len(pssm) + 1):
+        f = pssm.score_position(seq, i)
+        u = dm.unscale(dm.score_position(seq, i))
+        assert u >= f
+
+
+def test_discrete_neginf():
+    # pwm/mod.rs:830-852: zero-pseudocount PSSMs with -inf cells still
+    # quantize to finite offsets/factors
+    counts = CountMatrix(
+        DNA,
+        [
+            [1, 3, 3, 1, 0],
+            [8, 0, 0, 0, 0],
+            [1, 7, 0, 0, 0],
+            [3, 2, 2, 1, 0],
+            [1, 3, 3, 1, 0],
+            [8, 0, 0, 0, 0],
+            [1, 7, 0, 0, 0],
+            [3, 2, 2, 1, 0],
+        ],
+    )
+    dm = counts.to_freq(0.0).to_scoring(None).to_discrete()
+    assert np.isfinite(dm.offset)
+    assert np.isfinite(dm.factor)
+    for row in dm.data:
+        assert row.max() > 0
+
+
+def test_auto_correlation():
+    # pwm/mod.rs:812-827
+    counts = CountMatrix(
+        DNA,
+        [
+            [1, 3, 3, 1, 0],
+            [8, 0, 0, 0, 0],
+            [1, 7, 0, 0, 0],
+            [3, 2, 2, 1, 0],
+            [1, 3, 3, 1, 0],
+            [8, 0, 0, 0, 0],
+            [1, 7, 0, 0, 0],
+            [3, 2, 2, 1, 0],
+        ],
+    )
+    assert counts.auto_correlation(0) == pytest.approx(1.0)
+    assert counts.auto_correlation(4) == pytest.approx(1.0)
+
+
+def test_weight_information_content():
+    pssm = build_pssm()
+    pwm = pssm.to_weight()
+    ic = pwm.information_content()
+    assert np.isfinite(ic)
+    assert ic > 0
+
+
+def test_consensus():
+    cm = CountMatrix.from_sequences(EncodedSequence.encode(p) for p in PATTERNS)
+    cons = cm.consensus()
+    assert len(cons) == 15
+    assert cons[0].upper() == "G"
+
+
+def test_entropy():
+    cm = CountMatrix.from_sequences(EncodedSequence.encode(p) for p in PATTERNS)
+    ent = cm.entropy()
+    assert len(ent) == 15
+    assert ent[0] == pytest.approx(0.0)  # both patterns agree: G
+    assert ent[5] == pytest.approx(1.0)  # C vs T: one bit

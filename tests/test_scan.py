@@ -1,0 +1,92 @@
+"""Scanner consistency tests (reference ``lightmotif/src/scan.rs:252-354``
+and ``lightmotif/tests/scan.rs``)."""
+
+import numpy as np
+import pytest
+
+from lightmotif_tpu import CountMatrix, EncodedSequence
+from lightmotif_tpu.scanner import Hit, Scanner
+
+from .data import PATTERNS, SEQUENCE, build_pssm
+
+
+@pytest.fixture(scope="module")
+def pssm():
+    return build_pssm()
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return EncodedSequence.encode(SEQUENCE)
+
+
+def brute_force(pssm, seq, threshold):
+    scores = pssm.score_host(seq)
+    return [(i, float(s)) for i, s in enumerate(scores) if s >= threshold]
+
+
+def test_collect(pssm, seq):
+    hits = Scanner(pssm, seq, threshold=-10.0).collect()
+    assert len(hits) == 3
+    hits.sort(key=lambda h: h.position)
+    assert [h.position for h in hits] == [18, 27, 32]
+
+
+def test_collect_matches_bruteforce(pssm, seq):
+    for threshold in (-10.0, -15.0, -20.0, -30.0, 0.0):
+        expected = brute_force(pssm, seq, threshold)
+        got = sorted(
+            ((h.position, h.score) for h in Scanner(pssm, seq, threshold=threshold)),
+        )
+        assert [p for p, _ in got] == [p for p, _ in expected], threshold
+        for (p1, s1), (p2, s2) in zip(got, expected):
+            assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+def test_small_capacity_retry(pssm, seq):
+    # capacity smaller than the hit count forces the doubling retry path
+    hits = Scanner(pssm, seq, threshold=-30.0, capacity=4).collect()
+    expected = brute_force(pssm, seq, -30.0)
+    assert len(hits) == len(expected)
+
+
+def test_max(pssm, seq):
+    hit = Scanner(pssm, seq, threshold=-10.0).max()
+    assert hit.position == 18
+    assert hit.score == pytest.approx(-5.50167, abs=1e-5)
+
+
+def test_max_none(pssm, seq):
+    assert Scanner(pssm, seq, threshold=100.0).max() is None
+
+
+def test_neginf_pssm(seq):
+    # scan.rs:48-86 analogue: zero-pseudocount PSSM with -inf cells
+    cm = CountMatrix.from_sequences(EncodedSequence.encode(p) for p in PATTERNS)
+    pssm = cm.to_freq(0.0).to_scoring(None)
+    for threshold in (-10.0, -20.0):
+        expected = brute_force(pssm, seq, threshold)
+        got = sorted((h.position, h.score) for h in Scanner(pssm, seq, threshold=threshold))
+        assert [p for p, _ in got] == [p for p, _ in expected]
+
+
+def test_hit_ordering():
+    assert Hit(3, 1.0) > Hit(5, 0.5)
+    assert Hit(5, 1.0) > Hit(3, 1.0)
+    assert Hit(3, 1.0) == Hit(3, 1.0)
+    with pytest.raises(ValueError):
+        Hit(0, float("nan"))
+
+
+def test_long_sequence_segments(pssm):
+    # exercise the multi-segment path with a deterministic random genome
+    rng = np.random.default_rng(7)
+    text = "".join(rng.choice(list("ACGT"), size=40_000))
+    seq = EncodedSequence.encode(text)
+    threshold = -12.0
+    expected = brute_force(pssm, seq, threshold)
+    scanner = Scanner(pssm, seq, threshold=threshold, block_size=8192)
+    got = sorted((h.position, h.score) for h in scanner)
+    assert [p for p, _ in got] == [p for p, _ in expected]
+    for (p1, s1), (p2, s2) in zip(got, expected):
+        assert s1 == pytest.approx(s2, abs=1e-5)

@@ -1,0 +1,103 @@
+"""Golden scoring tests (reference ``lightmotif/tests/dna.rs``)."""
+
+import numpy as np
+import pytest
+
+from lightmotif_tpu import EncodedSequence
+from lightmotif_tpu.ops.pipeline import Pipeline
+
+from .data import EXPECTED, SEQUENCE, build_pssm
+
+
+@pytest.fixture(scope="module")
+def pssm():
+    return build_pssm()
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return EncodedSequence.encode(SEQUENCE)
+
+
+@pytest.fixture(scope="module", params=["xla", "pallas"])
+def pipeline(request):
+    return Pipeline(backend=request.param)
+
+
+def test_score_position(pssm, seq):
+    # dna.rs:175-199: scalar scoring matches Bio.motifs golden values
+    for i in range(len(seq) - len(pssm) + 1):
+        assert pssm.score_position(seq, i) == pytest.approx(
+            EXPECTED[i], abs=1e-5
+        ), f"position {i}"
+
+
+def test_score(pipeline, pssm, seq):
+    # dna.rs:65-91
+    scores = pipeline.score(pssm, seq).unstripe()
+    assert len(scores) == len(EXPECTED)
+    for i in range(len(scores)):
+        assert scores[i] == pytest.approx(EXPECTED[i], abs=1e-5), f"position {i}"
+
+
+def test_score_exact_vs_scalar(pipeline, pssm, seq):
+    # device scores must be bit-identical to the sequential scalar sums
+    scores = np.asarray(pipeline.score(pssm, seq).unstripe())
+    scalar = np.array(
+        [
+            pssm.score_position(seq, i)
+            for i in range(len(seq) - len(pssm) + 1)
+        ],
+        dtype=np.float32,
+    )
+    assert np.array_equal(scores, scalar)
+
+
+def test_score_striped_input(pipeline, pssm, seq):
+    striped = seq.to_striped()
+    striped.configure(pssm)
+    scores = pipeline.score(pssm, striped).unstripe()
+    assert scores[0] == pytest.approx(EXPECTED[0], abs=1e-5)
+
+
+def test_score_discrete(pipeline, pssm, seq):
+    # dna.rs:93-120: unscaled discrete scores over-estimate f32 scores
+    dm = pssm.to_discrete()
+    dscores = pipeline.score_discrete(dm, seq).unstripe()
+    assert len(dscores) == len(EXPECTED)
+    for i in range(len(dscores)):
+        assert dm.unscale(int(dscores[i])) >= EXPECTED[i], f"position {i}"
+
+
+def test_argmax(pipeline, pssm, seq):
+    # dna.rs:122-139
+    scores = pipeline.score(pssm, seq)
+    assert scores.argmax() == 18
+
+
+def test_threshold(pipeline, pssm, seq):
+    # dna.rs:141-173
+    scores = pipeline.score(pssm, seq)
+    assert sorted(scores.threshold(-10.0)) == [18, 27, 32]
+    assert sorted(scores.threshold(-15.0)) == [10, 13, 14, 18, 24, 27, 32, 35, 40, 47]
+
+
+def test_readme_example(pipeline, pssm, seq):
+    # README.md:62-92 / BASELINE correctness anchor
+    scores = pipeline.score(pssm, seq)
+    assert scores[0] == pytest.approx(-23.07094, abs=1e-5)
+    assert scores.argmax() == 18
+    assert scores[18] == pytest.approx(-5.50167, abs=1e-5)
+
+
+def test_argmax_last_tie():
+    # tie rule: the reference's `>=` update keeps the last maximum
+    from lightmotif_tpu.scores import StripedScores
+
+    s = StripedScores(np.array([1.0, 3.0, 3.0, 2.0], np.float32), 4)
+    assert s.argmax() == 2
+
+
+def test_score_empty(pipeline, pssm):
+    scores = pipeline.score(pssm, EncodedSequence.encode("ACGT"))
+    assert len(scores) == 0

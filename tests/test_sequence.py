@@ -1,0 +1,81 @@
+import numpy as np
+
+from lightmotif_tpu import DNA, EncodedSequence, StripedSequence
+
+A, C, T, G, N = 0, 1, 2, 3, 4
+
+
+def test_encode_roundtrip():
+    seq = EncodedSequence.encode("ATGTCCCAAC")
+    assert str(seq) == "ATGTCCCAAC"
+    assert list(seq) == [A, T, G, T, C, C, C, A, A, C]
+
+
+def test_stripe_u4():
+    # seq.rs:510-524: ATGCA striped over 4 columns
+    seq = EncodedSequence.encode("ATGCA")
+    striped = seq.to_striped(columns=4)
+    assert striped.rows == 2
+    assert striped.data[0].tolist() == [A, G, A, N]
+    assert striped.data[1].tolist() == [T, C, N, N]
+
+
+def test_stripe_u2():
+    seq = EncodedSequence.encode("ATGCA")
+    striped = seq.to_striped(columns=2)
+    assert striped.rows == 3
+    assert striped.data[0].tolist() == [A, C]
+    assert striped.data[1].tolist() == [T, A]
+    assert striped.data[2].tolist() == [G, N]
+
+
+def test_configure_wrap():
+    # seq.rs:527-541
+    seq = EncodedSequence.encode("ATGCA")
+    striped = seq.to_striped(columns=4)
+    striped.configure_wrap(2)
+    assert striped.rows == 4
+    assert striped.data[0].tolist() == [A, G, A, N]
+    assert striped.data[1].tolist() == [T, C, N, N]
+    assert striped.data[2].tolist() == [G, A, N, N]
+    assert striped.data[3].tolist() == [C, N, N, N]
+
+
+def test_index():
+    # seq.rs:544-570
+    seq = EncodedSequence.encode("ATGCA")
+    striped = seq.to_striped(columns=4)
+    assert [striped[i] for i in range(5)] == [A, T, G, C, A]
+
+    striped2 = seq.to_striped(columns=2)
+    assert [striped2[i] for i in range(5)] == [A, T, G, C, A]
+    striped2.configure_wrap(4)
+    assert striped2.rows == 7
+    assert [striped2[i] for i in range(5)] == [A, T, G, C, A]
+
+
+def test_count_symbols():
+    # seq.rs:573-598
+    seq = EncodedSequence.encode("ATGCAAGGAGATTCTAGAT")
+    striped = seq.to_striped()
+    assert np.array_equal(seq.count_symbols(), striped.count_symbols())
+    striped.configure_wrap(32)
+    assert np.array_equal(seq.count_symbols(), striped.count_symbols())
+
+
+def test_unstripe():
+    seq = EncodedSequence.encode("ATGTCCCAACAACGATACC")
+    striped = seq.to_striped(columns=4)
+    striped.configure_wrap(3)
+    assert striped.unstripe() == seq
+
+
+def test_reverse_complement():
+    seq = EncodedSequence.encode("ATGCAN")
+    assert str(seq.reverse_complement()) == "NTGCAT"
+
+
+def test_empty():
+    seq = EncodedSequence.encode("")
+    striped = seq.to_striped(columns=2)
+    assert striped.rows == 0
