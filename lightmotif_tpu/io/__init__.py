@@ -1,0 +1,127 @@
+"""Motif file-format IO (JASPAR, JASPAR16, TRANSFAC, MEME, UniPROBE).
+
+``load(file, format=..., protein=False)`` mirrors the reference Python
+bindings' loader (``lightmotif-py/lightmotif/io.rs:206-315``): it
+accepts a path or a text/binary file-like object and yields
+:class:`Motif` objects with ``counts`` / ``pwm`` / ``pssm`` populated as
+far as the format allows.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _stdio
+import os
+
+from ..alphabet import DNA, PROTEIN
+from .parsers import (
+    read_jaspar,
+    read_jaspar16,
+    read_meme,
+    read_transfac,
+    read_uniprobe,
+)
+from .records import (
+    CountRecord,
+    FrequencyRecord,
+    MemeRecord,
+    ParseError,
+    TransfacRecord,
+)
+
+__all__ = [
+    "read_jaspar",
+    "read_jaspar16",
+    "read_transfac",
+    "read_meme",
+    "read_uniprobe",
+    "load",
+    "loads",
+    "ParseError",
+    "CountRecord",
+    "FrequencyRecord",
+    "MemeRecord",
+    "TransfacRecord",
+]
+
+FORMATS = ("jaspar", "jaspar16", "transfac", "meme", "uniprobe")
+
+
+def _open_text(file):
+    """Path / bytes-handle / text-handle -> text handle (gzip-aware)."""
+    if isinstance(file, (str, os.PathLike)):
+        raw = open(file, "rb")
+    elif isinstance(file, bytes):
+        raw = _stdio.BytesIO(file)
+    elif hasattr(file, "read"):
+        probe = file.read(0)
+        if isinstance(probe, str):
+            return file
+        raw = file
+    else:
+        raise TypeError(f"cannot read from {type(file).__name__}")
+    head = raw.read(2)
+    if hasattr(raw, "seek"):
+        raw.seek(-len(head), 1)
+        if head == b"\x1f\x8b":
+            raw = gzip.open(raw, "rb")
+    return _stdio.TextIOWrapper(raw)
+
+
+def _records(handle, format: str, alphabet):
+    if format == "jaspar":
+        if alphabet is not DNA:
+            raise ValueError("raw JASPAR only supports the DNA alphabet")
+        return read_jaspar(handle)
+    if format == "jaspar16":
+        return read_jaspar16(handle, alphabet)
+    if format == "transfac":
+        return read_transfac(handle, alphabet)
+    if format == "meme":
+        return iter(read_meme(handle, alphabet))
+    if format == "uniprobe":
+        return read_uniprobe(handle, alphabet)
+    raise ValueError(f"unknown format {format!r}; expected one of {FORMATS}")
+
+
+def load(file, format: str = "jaspar16", protein: bool = False):
+    """Yield :class:`lightmotif_tpu.Motif` objects from a motif file.
+
+    Parity note: like the reference's ``load()``, matrices are converted
+    with a **zero** pseudocount and the file's background if present
+    (``io.rs:41-204``).
+    """
+    from .. import Motif
+
+    alphabet = PROTEIN if protein else DNA
+    handle = _open_text(file)
+    for record in _records(handle, format, alphabet):
+        motif = Motif(name=getattr(record, "id", None) or None)
+        if isinstance(record, CountRecord):
+            motif.counts = record.matrix()
+            freq = motif.counts.to_freq(0.0)
+        elif isinstance(record, TransfacRecord):
+            motif.counts = record.to_counts()
+            freq = record.to_freq(0.0)
+            motif.name = record.accession or record.id or record.name
+        elif isinstance(record, MemeRecord):
+            freq = record.matrix()
+            bg = record.background
+            motif.pwm = freq.to_weight(bg)
+            motif.pssm = motif.pwm.to_scoring()
+            yield motif
+            continue
+        elif isinstance(record, FrequencyRecord):
+            freq = record.matrix()
+        else:  # pragma: no cover
+            raise TypeError(type(record).__name__)
+        if freq is not None:
+            motif.pwm = freq.to_weight(None)
+            motif.pssm = motif.pwm.to_scoring()
+        yield motif
+
+
+def loads(text: str, format: str = "jaspar16", protein: bool = False):
+    """Like :func:`load` but from a string."""
+    return load(_stdio.StringIO(text) if isinstance(text, str) else text,
+                format=format, protein=protein)

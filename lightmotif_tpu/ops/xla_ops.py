@@ -120,6 +120,9 @@ def score_u8(seq: jax.Array, dm: jax.Array, n_scores: int) -> jax.Array:
     for j in range(1, m):
         term = jnp.concatenate([p[j:, j], jnp.zeros((j,), jnp.int32)])
         acc = acc + term
+    # clamp to u8 range: equals the reference's stepwise saturating add
+    # (partial sums are monotone non-decreasing), avx2.rs:292-347
+    acc = jnp.minimum(acc, 255)
     pos = jax.lax.broadcasted_iota(jnp.int32, (lp,), 0)
     return jnp.where(pos < n_scores, acc, -1)
 
@@ -194,7 +197,9 @@ def scan_block(seq, dm, pssm, t_scaled, threshold, n_scores: int, cap: int):
     ``count`` is the number of *discrete* candidates (for overflow
     detection), ``keep`` marks candidates passing the f32 threshold.
     """
-    dscores = score_u8(seq, dm, n_scores)
+    from . import kernels  # Pallas on TPU, XLA fallback elsewhere
+
+    dscores = kernels.score_u8(seq, dm, n_scores)
     count, idx = threshold_positions(dscores, t_scaled, cap)
     fscores = rescore_positions(seq, pssm, idx)
     keep = (idx < n_scores) & (fscores >= threshold)

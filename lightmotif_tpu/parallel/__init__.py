@@ -1,0 +1,17 @@
+"""Multi-device (mesh) parallelism for genome-scale scanning."""
+
+from .mesh import (
+    ShardedScanner,
+    make_genome_mesh,
+    shard_sequence,
+    sharded_argmax,
+    sharded_scan,
+)
+
+__all__ = [
+    "ShardedScanner",
+    "make_genome_mesh",
+    "shard_sequence",
+    "sharded_argmax",
+    "sharded_scan",
+]

@@ -1,0 +1,261 @@
+"""Data-parallel genome scanning over a TPU device mesh.
+
+The reference is a single-node SIMD library; its only concurrency is a
+thread pool over (motif x sequence) jobs (``lightmotif-cli/src/main.rs:
+240-378``).  The TPU-native scaling design replaces that with SPMD data
+parallelism over genome shards:
+
+* the genome is split into equal chunks, each extended with a
+  ``motif_len - 1`` symbol *halo* from its right neighbour -- exactly
+  the overlap rule of the reference's wrap rows (``seq.rs:369-381``) --
+  so every window is scored by exactly one shard;
+* the PSSM / discrete matrix are replicated;
+* each device runs the same fused two-pass scan as the single-chip path;
+* hit buffers are fixed-capacity per shard and merged with
+  ``all_gather`` over the ICI mesh; argmax reductions merge with
+  ``pmax`` + index arithmetic.
+
+Everything is expressed with ``jax.sharding.Mesh`` + ``shard_map`` so
+XLA inserts the collectives; there is no hand-written transport.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops import xla_ops
+
+__all__ = [
+    "make_genome_mesh",
+    "shard_sequence",
+    "sharded_scan",
+    "sharded_argmax",
+    "ShardedScanner",
+]
+
+
+def make_genome_mesh(devices=None) -> Mesh:
+    """A 1-D mesh with a single ``genome`` axis over all devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), ("genome",))
+
+
+def shard_sequence(
+    encoded: np.ndarray,
+    n_shards: int,
+    motif_len: int,
+    wildcard: int,
+    pad_multiple: int = xla_ops.PAD_MULTIPLE,
+):
+    """Split a flat encoded sequence into overlapping shards.
+
+    Returns ``(shards[n_shards, chunk + motif_len - 1], chunk, n_scores)``
+    where shard ``d`` owns window starts ``[d * chunk, (d+1) * chunk)``
+    and carries ``motif_len - 1`` halo symbols from shard ``d+1``.
+    """
+    n = int(encoded.size)
+    n_scores = max(n - motif_len + 1, 0)
+    chunk = -(-max(n_scores, 1) // n_shards)
+    chunk = max(-(-chunk // pad_multiple) * pad_multiple, pad_multiple)
+    halo = motif_len - 1
+    width = chunk + halo
+    shards = np.full((n_shards, width), wildcard, dtype=np.int8)
+    for d in range(n_shards):
+        start = d * chunk
+        stop = min(start + width, n)
+        if start < n:
+            shards[d, : stop - start] = encoded[start:stop]
+    return shards, chunk, n_scores
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "n_scores", "cap", "mesh_holder")
+)
+def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk, n_scores, cap, mesh_holder):
+    mesh = mesh_holder.mesh
+
+    def local(shard, dm, pssm, t_scaled, threshold):
+        d = jax.lax.axis_index("genome")
+        seq = shard[0]
+        # number of valid window starts in this shard
+        n_local = jnp.clip(n_scores - d * chunk, 0, chunk)
+        dscores = xla_ops.score_u8(seq, dm, chunk)
+        pos = jax.lax.broadcasted_iota(jnp.int32, dscores.shape, 0)
+        dscores = jnp.where(pos < n_local, dscores, -1)
+        count, idx = xla_ops.threshold_positions(dscores, t_scaled, cap)
+        fscores = xla_ops.rescore_positions(seq, pssm, idx)
+        keep = (idx < n_local) & (fscores >= threshold)
+        gidx = jnp.where(keep, idx + d * chunk, -1)
+        # fixed-size per-shard buffers; host concatenates after gather
+        return (
+            count[None],
+            gidx[None, :],
+            fscores[None, :],
+            keep[None, :],
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("genome"), P(), P(), P(), P()),
+        out_specs=(P("genome"), P("genome"), P("genome"), P("genome")),
+    )(shards, dm, pssm, t_scaled, threshold)
+
+
+class _MeshHolder:
+    """Hashable wrapper so a Mesh can ride through jit static args."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash(tuple(d.id for d in self.mesh.devices.flat))
+
+    def __eq__(self, other):
+        return isinstance(other, _MeshHolder) and self.mesh == other.mesh
+
+
+def sharded_scan(
+    pssm_data: np.ndarray,
+    dm_data: np.ndarray,
+    encoded: np.ndarray,
+    threshold: float,
+    t_scaled: int,
+    mesh: Mesh | None = None,
+    cap: int = 1 << 16,
+):
+    """Scan a genome across every device of the mesh; returns
+    ``(positions, scores)`` of accepted hits (host arrays)."""
+    mesh = mesh or make_genome_mesh()
+    n_dev = mesh.devices.size
+    m = pssm_data.shape[0]
+    wildcard = pssm_data.shape[1] - 1
+    shards, chunk, n_scores = shard_sequence(encoded, n_dev, m, wildcard)
+
+    sharding = NamedSharding(mesh, P("genome"))
+    shards_dev = jax.device_put(shards, sharding)
+    counts, gidx, fscores, keep = _sharded_scan_impl(
+        shards_dev,
+        jnp.asarray(dm_data),
+        jnp.asarray(pssm_data.astype(np.float32)),
+        jnp.int32(t_scaled),
+        jnp.float32(threshold),
+        chunk,
+        n_scores,
+        cap,
+        _MeshHolder(mesh),
+    )
+    counts = np.asarray(counts)
+    if int(counts.max(initial=0)) > cap:
+        raise OverflowError(
+            f"hit buffer overflow ({int(counts.max())} > {cap}); retry with larger cap"
+        )
+    gidx = np.asarray(gidx).reshape(-1)
+    fscores = np.asarray(fscores).reshape(-1)
+    keep = np.asarray(keep).reshape(-1)
+    sel = keep.nonzero()[0]
+    return gidx[sel], fscores[sel]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n_scores", "mesh_holder"))
+def _sharded_argmax_impl(shards, pssm, chunk, n_scores, mesh_holder):
+    mesh = mesh_holder.mesh
+
+    def local(shard, pssm):
+        d = jax.lax.axis_index("genome")
+        seq = shard[0]
+        n_local = jnp.clip(n_scores - d * chunk, 0, chunk)
+        scores = xla_ops.score_f32(seq, pssm, chunk)
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(pos < n_local, scores, -jnp.inf)
+        local_max = jnp.max(scores)
+        local_arg = xla_ops.argmax_last(scores) + d * chunk
+        # merge over the mesh: max score wins; ties -> larger index
+        # (reference last-max-wins rule, pli/mod.rs:146)
+        gmax = jax.lax.pmax(local_max, "genome")
+        cand = jnp.where(local_max == gmax, local_arg, -1)
+        garg = jax.lax.pmax(cand, "genome")
+        return gmax[None], garg[None]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("genome"), P()),
+        out_specs=(P("genome"), P("genome")),
+    )(shards, pssm)
+
+
+def sharded_argmax(
+    pssm_data: np.ndarray,
+    encoded: np.ndarray,
+    mesh: Mesh | None = None,
+):
+    """Global (max_score, argmax) over a genome sharded across the mesh."""
+    mesh = mesh or make_genome_mesh()
+    n_dev = mesh.devices.size
+    m = pssm_data.shape[0]
+    wildcard = pssm_data.shape[1] - 1
+    shards, chunk, n_scores = shard_sequence(encoded, n_dev, m, wildcard)
+    sharding = NamedSharding(mesh, P("genome"))
+    shards_dev = jax.device_put(shards, sharding)
+    gmax, garg = _sharded_argmax_impl(
+        shards_dev,
+        jnp.asarray(pssm_data.astype(np.float32)),
+        chunk,
+        n_scores,
+        _MeshHolder(mesh),
+    )
+    return float(np.asarray(gmax)[0]), int(np.asarray(garg)[0])
+
+
+class ShardedScanner:
+    """Multi-device counterpart of :class:`lightmotif_tpu.scanner.Scanner`."""
+
+    def __init__(self, pssm, seq, threshold: float = 0.0, mesh: Mesh | None = None):
+        from ..scanner import Hit  # noqa: F401 (re-exported convenience)
+
+        self.pssm = pssm
+        self.dm = pssm.to_discrete()
+        self.threshold = float(threshold)
+        self.mesh = mesh or make_genome_mesh()
+        if hasattr(seq, "unstripe"):
+            seq = seq.unstripe()
+        self.encoded = np.asarray(seq.data, dtype=np.int8)
+
+    def collect(self):
+        from ..scanner import Hit
+
+        cap = 1 << 16
+        while True:
+            try:
+                positions, scores = sharded_scan(
+                    np.asarray(self.pssm.data),
+                    np.asarray(self.dm.data),
+                    self.encoded,
+                    self.threshold,
+                    self.dm.scale(self.threshold),
+                    mesh=self.mesh,
+                    cap=cap,
+                )
+                break
+            except OverflowError:
+                cap *= 2
+        order = np.argsort(positions, kind="stable")
+        return [Hit(int(p), float(s)) for p, s in zip(positions[order], scores[order])]
+
+    def max(self):
+        from ..scanner import Hit
+
+        hits = self.collect()
+        return max(hits, default=None)

@@ -57,7 +57,7 @@ class EncodedSequence:
             alphabet = alphabet or data.alphabet
             data = data.data
         if alphabet is None:
-            raise TypeError("alphabet is required")
+            alphabet = DNA
         arr = np.asarray(data, dtype=np.uint8)
         if arr.ndim != 1:
             raise ValueError("encoded sequence must be one-dimensional")

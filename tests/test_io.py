@@ -1,0 +1,265 @@
+"""Motif-format parser tests.
+
+Synthetic fixtures cover the format features; when the reference mount
+is available, its real test files (JASPAR pfm, TRANSFAC, MEME/DREME/
+STREME, UniPROBE) are parsed too and record counts checked against the
+reference test expectations (``lightmotif-io/tests/*.rs``).
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from lightmotif_tpu import DNA, PROTEIN
+from lightmotif_tpu.io import (
+    load,
+    loads,
+    read_jaspar,
+    read_jaspar16,
+    read_meme,
+    read_transfac,
+    read_uniprobe,
+)
+
+REF = "/root/reference/lightmotif-io/tests"
+
+
+JASPAR16 = """\
+>MA0001.3\tAGL3
+A  [     0      0     82     40     56     35     65     25     64      0 ]
+C  [    92     79      1      4      0      0      1      4      0      0 ]
+G  [     0      0      2      3      1      0      4      3     28     92 ]
+T  [     3     16     10     48     38     60     25     63      3      3 ]
+"""
+
+JASPAR_RAW = """\
+>MA0002.1 RUNX1
+10 12  4  1  2  2  0  0  0  8 13
+ 2  2  7  1  0  8  0  0  1  2  2
+ 3  1  1  0 23  0 26 26  0  0  4
+11 11 14 24  1 16  0  0 25 16  7
+"""
+
+TRANSFAC = """\
+ID  test_motif
+BF  Pseudomonas aeruginosa
+P0      A      T      G      C
+00      0      0      2      0      G
+01      0      2      0      0      T
+02      0      2      0      0      T
+03      0      0      2      0      G
+04      2      0      0      0      A
+XX
+//
+"""
+
+MEME = """\
+MEME version 4
+
+ALPHABET= ACGT
+
+strands: + -
+
+Background letter frequencies
+A 0.303 C 0.183 G 0.306 T 0.209
+
+MOTIF crp
+letter-probability matrix: alength= 4 w= 3 nsites= 17 E= 4.1e-009
+ 0.000000  0.176471  0.000000  0.823529
+ 0.000000  0.058824  0.647059  0.294118
+ 0.000000  0.058824  0.000000  0.941176
+URL http://example.com/crp
+
+MOTIF lexA
+letter-probability matrix: alength= 4 w= 2 nsites= 14 E= 3.2e-035
+ 0.214286  0.000000  0.000000  0.785714
+ 0.857143  0.000000  0.071429  0.071429
+"""
+
+UNIPROBE = """\
+Cha4 primary
+A:\t0.17\t0.22\t0.11
+C:\t0.25\t0.13\t0.15
+G:\t0.33\t0.39\t0.57
+T:\t0.25\t0.26\t0.17
+"""
+
+
+def test_jaspar16_basic():
+    recs = list(read_jaspar16(io.StringIO(JASPAR16)))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.id == "MA0001.3"
+    assert r.description == "AGL3"
+    m = r.matrix()
+    assert len(m) == 10
+    # column order internal: A C T G N
+    assert m.data[0].tolist() == [0, 92, 3, 0, 0]
+    assert m.data[9].tolist() == [0, 0, 3, 92, 0]
+
+
+def test_jaspar_raw():
+    recs = list(read_jaspar(io.StringIO(JASPAR_RAW)))
+    assert len(recs) == 1
+    m = recs[0].matrix()
+    assert len(m) == 11
+    # jaspar raw order is A C G T
+    assert m.data[0].tolist() == [10, 2, 11, 3, 0]
+
+
+def test_transfac_basic():
+    recs = list(read_transfac(io.StringIO(TRANSFAC)))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.id == "test_motif"
+    counts = r.to_counts()
+    assert len(counts) == 5
+    assert counts.data[0].tolist() == [0, 0, 0, 2, 0]  # G
+    assert counts.data[4].tolist() == [2, 0, 0, 0, 0]  # A
+
+
+def test_meme_basic():
+    f = read_meme(io.StringIO(MEME))
+    assert f.version == "4"
+    assert f.background is not None
+    assert f.background["A"] == pytest.approx(0.303)
+    assert len(f.records) == 2
+    crp, lexa = f.records
+    assert crp.id == "crp"
+    assert crp.w == 3
+    assert crp.nsites == 17
+    assert crp.url == "http://example.com/crp"
+    assert crp.evalue == pytest.approx(4.1e-9)
+    m = crp.matrix()
+    # MEME column order ACGT -> internal ACTGN
+    assert m.data[0, 0] == pytest.approx(0.0)
+    assert m.data[0, 2] == pytest.approx(0.823529)  # T
+    assert lexa.id == "lexA"
+    assert len(lexa.matrix()) == 2
+
+
+def test_uniprobe_basic():
+    recs = list(read_uniprobe(io.StringIO(UNIPROBE)))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.id == "Cha4 primary"
+    m = r.matrix()
+    assert len(m) == 3
+    assert m.data[0, 0] == pytest.approx(0.17)
+    assert m.data[0, 3] == pytest.approx(0.33)  # G
+
+
+def test_load_motifs():
+    motifs = list(loads(JASPAR16, format="jaspar16"))
+    assert len(motifs) == 1
+    assert motifs[0].name == "MA0001.3"
+    assert motifs[0].counts is not None
+    assert motifs[0].pssm is not None
+    assert len(motifs[0].pssm) == 10
+
+
+def test_load_bytes_and_filelike(tmp_path):
+    path = tmp_path / "m.jaspar"
+    path.write_text(JASPAR16)
+    assert len(list(load(str(path)))) == 1
+    assert len(list(load(JASPAR16.encode()))) == 1
+    with open(path, "rb") as fh:
+        assert len(list(load(fh))) == 1
+
+
+def test_load_gzip(tmp_path):
+    import gzip
+
+    path = tmp_path / "m.jaspar.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write(JASPAR16)
+    assert len(list(load(str(path)))) == 1
+
+
+# -- real files from the reference mount (skipped when absent) -------------
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF), reason="no reference mount")
+
+
+@needs_ref
+def test_ref_mx000001():
+    with open(f"{REF}/MX000001.transfac") as fh:
+        recs = list(read_transfac(fh))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.id == "prodoric_MX000001"
+    counts = r.to_counts()
+    assert len(counts) == 15
+    # first row is G=2
+    assert counts.data[0].tolist() == [0, 0, 0, 2, 0]
+
+
+@needs_ref
+def test_ref_m00005():
+    with open(f"{REF}/M00005.transfac") as fh:
+        recs = list(read_transfac(fh))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.accession == "M00005"
+    assert r.id == "V$AP4_01"
+    assert r.name == "AP-4"
+    assert len(r.to_counts()) == 18
+    assert len(r.sites) == 5
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "name,version,count,alphabet",
+    [
+        ("DNA.meme", "4", 2, DNA),
+        ("DREME.meme", "5.5.6", 16, DNA),
+        ("MEME.meme", "5.5.6 (Release date: Wed Jun 19 13:59:04 2024 -0700)", 3, DNA),
+        ("STREME.meme", "5.5.6 (Release date: Wed Jun 19 13:59:04 2024 -0700)", 7, DNA),
+        (
+            "autoclust_7_64_17_streme.txt",
+            "5.5.7 (Release date: Wed Jun 19 13:59:04 2024 -0700)",
+            9,
+            PROTEIN,
+        ),
+    ],
+)
+def test_ref_meme_files(name, version, count, alphabet):
+    with open(f"{REF}/{name}") as fh:
+        f = read_meme(fh, alphabet)
+    assert f.version == version
+    assert len(f.records) == count
+    for rec in f.records:
+        m = rec.matrix()
+        assert len(m) > 0
+        assert np.allclose(m.data.sum(axis=1), 1.0, atol=0.02)
+
+
+@needs_ref
+def test_ref_dna_meme_background():
+    with open(f"{REF}/DNA.meme") as fh:
+        f = read_meme(fh, DNA)
+    assert f.background is not None
+    assert f.background["A"] == pytest.approx(0.303)
+    assert f.background["C"] == pytest.approx(0.183)
+    assert f.background["G"] == pytest.approx(0.209)
+    assert f.background["T"] == pytest.approx(0.306)
+
+
+@needs_ref
+def test_ref_uniprobe_files():
+    for name, expected in [("Cha4.uniprobe", 1), ("Gal4.uniprobe", 1)]:
+        with open(f"{REF}/{name}") as fh:
+            recs = list(read_uniprobe(fh))
+        assert len(recs) >= expected
+        for r in recs:
+            assert len(r.matrix()) > 0
+
+
+@needs_ref
+def test_ref_jaspar_pfm():
+    with open(f"{REF}/MA0001.3.pfm") as fh:
+        recs = list(read_jaspar16(fh))
+    assert len(recs) == 1
+    assert recs[0].id.startswith("MA0001")

@@ -1,0 +1,70 @@
+"""Multi-device sharding tests on an 8-way virtual CPU mesh
+(conftest sets ``xla_force_host_platform_device_count=8``)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lightmotif_tpu import EncodedSequence
+from lightmotif_tpu.parallel import (
+    ShardedScanner,
+    make_genome_mesh,
+    shard_sequence,
+    sharded_argmax,
+)
+from lightmotif_tpu.scanner import Scanner
+
+from .data import build_pssm
+
+
+@pytest.fixture(scope="module")
+def pssm():
+    return build_pssm()
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(123)
+    text = "".join(rng.choice(list("ACGT"), size=300_000))
+    return EncodedSequence.encode(text)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_genome_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_sequence_halo(pssm):
+    enc = np.arange(100, dtype=np.int8) % 4
+    shards, chunk, n_scores = shard_sequence(enc, 4, len(pssm), 4, pad_multiple=32)
+    assert n_scores == 100 - len(pssm) + 1
+    assert shards.shape == (4, chunk + len(pssm) - 1)
+    # halo: shard 0's tail overlaps shard 1's head
+    assert np.array_equal(shards[0, chunk : chunk + 14], shards[1, :14])
+
+
+def test_sharded_scan_matches_single_device(pssm, genome):
+    threshold = -12.0
+    single = sorted(
+        (h.position, h.score) for h in Scanner(pssm, genome, threshold=threshold)
+    )
+    sharded = ShardedScanner(pssm, genome, threshold=threshold)
+    multi = sorted((h.position, h.score) for h in sharded.collect())
+    assert [p for p, _ in multi] == [p for p, _ in single]
+    for (p1, s1), (p2, s2) in zip(multi, single):
+        assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+def test_sharded_argmax_matches_host(pssm, genome):
+    gmax, garg = sharded_argmax(np.asarray(pssm.data), np.asarray(genome.data))
+    host = pssm.score_host(genome)
+    assert gmax == pytest.approx(float(host.max()), abs=1e-5)
+    hmax = host.max()
+    expected_arg = int(np.nonzero(host == hmax)[0][-1])
+    assert garg == expected_arg
+
+
+def test_sharded_scanner_max(pssm, genome):
+    hit = ShardedScanner(pssm, genome, threshold=-12.0).max()
+    host = pssm.score_host(genome)
+    assert hit.score == pytest.approx(float(host.max()), abs=1e-5)
