@@ -33,6 +33,9 @@ from .matrix import (
 from .dist import ScoreDistribution
 from .scores import Scores, StripedScores
 from .sequence import EncodedSequence, StripedSequence
+from .scanner import Hit, Scanner
+from .sampler import Sampler, SamplerData
+from .tfmpvalue import TfmPvalue
 
 __all__ = [
     "DNA",
@@ -52,11 +55,38 @@ __all__ = [
     "StripedScores",
     "EncodedSequence",
     "StripedSequence",
+    "Hit",
+    "Scanner",
+    "Sampler",
+    "SamplerData",
+    "TfmPvalue",
     "create",
     "stripe",
     "scan",
+    "load",
+    "Loader",
     "Motif",
 ]
+
+
+def load(file, format: str = "jaspar16", protein: bool = False):
+    """Load motifs from a file (see :func:`lightmotif_tpu.io.load`)."""
+    from .io import load as _load
+
+    return _load(file, format=format, protein=protein)
+
+
+class Loader:
+    """Iterator over motifs in a file (reference ``io.rs:206-315``)."""
+
+    def __init__(self, file, format: str = "jaspar16", protein: bool = False):
+        self._it = load(file, format=format, protein=protein)
+
+    def __iter__(self):
+        return self._it
+
+    def __next__(self):
+        return next(self._it)
 
 
 # -- convenience API (parity with lightmotif-py ``lib.rs:1351-1470``) --------

@@ -1,0 +1,172 @@
+"""FIMO-like command-line scanner.
+
+TPU-native counterpart of the reference CLI
+(``lightmotif-cli/src/main.rs``): load motif matrices, derive per-motif
+thresholds from a p-value (MEME score distribution), scan every FASTA
+record on the forward (and optionally reverse-complement) strand, and
+stream hits as TSV with the same columns::
+
+    seq_index  seq_name  motif_index  motif_name  pos  strand  score  pvalue
+
+Where the reference fans (motif x sequence) jobs over a thread pool,
+this drives the fused device scan per (motif, sequence) pair -- one TPU
+chip replaces the pool; ``--mesh`` spreads each scan over every device
+of the host instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import __version__
+from .alphabet import DNA, PROTEIN
+from .dist import ScoreDistribution
+from .fasta import read_fasta
+from .io import load
+from .scanner import Scanner
+from .sequence import EncodedSequence
+
+__all__ = ["main"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="lightmotif-tpu",
+        description="Scan sequences for motif occurrences (FIMO-like).",
+    )
+    parser.add_argument("--version", action="version", version=__version__)
+    parser.add_argument("-m", "--matrices", required=True, help="motif matrix file")
+    parser.add_argument(
+        "--format",
+        default="jaspar",
+        choices=("jaspar", "jaspar16", "transfac", "meme", "uniprobe"),
+        help="format of the matrix file",
+    )
+    parser.add_argument("-s", "--sequences", required=True, help="FASTA sequence file")
+    parser.add_argument("-o", "--output", required=True, help="output TSV file ('-' for stdout)")
+    thr = parser.add_mutually_exclusive_group()
+    thr.add_argument("-P", "--pvalue", type=float, default=None,
+                     help="p-value threshold (default 1e-5)")
+    thr.add_argument("--abs-threshold", type=float, default=None,
+                     help="absolute score threshold")
+    thr.add_argument("--rel-threshold", type=float, default=None,
+                     help="threshold as a fraction of the maximum score")
+    parser.add_argument("--direct", action=argparse.BooleanOptionalAction, default=True,
+                        help="scan the direct strand")
+    parser.add_argument("--reverse", action=argparse.BooleanOptionalAction, default=False,
+                        help="also scan the reverse-complement strand")
+    parser.add_argument("--protein", action="store_true", help="protein alphabet")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard each scan across all devices")
+    parser.add_argument("--block-size", type=int, default=None,
+                        help="positions per device dispatch")
+    parser.add_argument("-q", "--quiet", action="store_true")
+    return parser
+
+
+class _MotifJob:
+    __slots__ = ("index", "name", "pssm", "reverse", "dist", "threshold")
+
+    def __init__(self, index, name, pssm, reverse, dist, threshold):
+        self.index = index
+        self.name = name
+        self.pssm = pssm
+        self.reverse = reverse
+        self.dist = dist
+        self.threshold = threshold
+
+
+def prepare_motifs(args) -> list:
+    """Load matrices and derive thresholds (``main.rs:469-498``)."""
+    jobs = []
+    for i, motif in enumerate(load(args.matrices, format=args.format,
+                                   protein=args.protein)):
+        if motif.counts is not None:
+            pssm = motif.counts.to_freq(0.1).to_scoring(None)
+        elif motif.pssm is not None:
+            pssm = motif.pssm
+        else:
+            continue
+        dist = ScoreDistribution(pssm)
+        if args.pvalue is not None:
+            threshold = dist.score(args.pvalue)
+        elif args.rel_threshold is not None:
+            threshold = pssm.max_score() * args.rel_threshold
+        elif args.abs_threshold is not None:
+            threshold = args.abs_threshold
+        else:
+            threshold = dist.score(1e-5)
+        reverse = pssm.reverse_complement() if args.reverse else None
+        jobs.append(
+            _MotifJob(i, motif.name or f"motif{i}", pssm, reverse, dist, threshold)
+        )
+    return jobs
+
+
+def _scan(pssm, seq, threshold, args):
+    if args.mesh:
+        from .parallel import ShardedScanner
+
+        return ShardedScanner(pssm, seq, threshold=threshold).collect()
+    scanner = Scanner(pssm, seq, threshold=threshold)
+    if args.block_size:
+        scanner.block_size = args.block_size
+    return scanner.collect()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    alphabet = PROTEIN if args.protein else DNA
+
+    motifs = prepare_motifs(args)
+    if not args.quiet:
+        lens = [len(j.pssm) for j in motifs]
+        print(
+            f"Loaded {len(motifs)} matrices (M={min(lens)}..{max(lens)})"
+            if motifs
+            else "Loaded 0 matrices",
+            file=sys.stderr,
+        )
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    t0 = time.perf_counter()
+    n_hits = 0
+    try:
+        out.write(
+            "seq_index\tseq_name\tmotif_index\tmotif_name\tpos\tstrand\tscore\tpvalue\n"
+        )
+        for si, record in enumerate(read_fasta(args.sequences)):
+            seq = EncodedSequence.encode_lossy(record.sequence, alphabet)
+            for job in motifs:
+                strands = []
+                if args.direct:
+                    strands.append(("+", job.pssm))
+                if job.reverse is not None:
+                    strands.append(("-", job.reverse))
+                for strand, pssm in strands:
+                    for hit in _scan(pssm, seq, job.threshold, args):
+                        pv = job.dist.pvalue(hit.score)
+                        out.write(
+                            f"{si + 1}\t{record.name}\t{job.index + 1}\t"
+                            f"{job.name}\t{hit.position}\t{strand}\t"
+                            f"{np.float32(hit.score)}\t{pv:e}\n"
+                        )
+                        n_hits += 1
+            if not args.quiet:
+                print(
+                    f"[{time.perf_counter() - t0:8.2f}s] {si + 1} sequences, "
+                    f"{n_hits} hits",
+                    file=sys.stderr,
+                )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

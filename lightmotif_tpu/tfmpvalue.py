@@ -50,7 +50,9 @@ class TfmPvalue:
 
         self.granularity = math.nan
         self.offsets = [0] * self.M
-        self.int_matrix = np.zeros((self.M, k), dtype=np.int64)
+        # plain Python ints: -inf cells saturate to i64::MIN like the
+        # reference, and offset arithmetic must not overflow
+        self.int_matrix = [[0] * k for _ in range(self.M)]
         self.error_max = 0.0
         self.max_score_rows = [0] * self.M
         self.min_score_rows = [0] * self.M
@@ -66,9 +68,15 @@ class TfmPvalue:
         mat = self._fmat
         self.granularity = granularity
 
+        I64_MIN, I64_MAX = -(2**63), 2**63 - 1
         for i, p in enumerate(self.permutation):
             for j in range(K - 1):
-                self.int_matrix[i][j] = math.floor(mat[p][j] / granularity)
+                v = mat[p][j] / granularity
+                # Rust `as i64` saturating cast: -inf -> i64::MIN
+                if math.isinf(v) or math.isnan(v):
+                    self.int_matrix[i][j] = I64_MIN if v < 0 or math.isnan(v) else I64_MAX
+                else:
+                    self.int_matrix[i][j] = max(I64_MIN, min(I64_MAX, math.floor(v)))
             self.int_matrix[i][K - 1] = 0  # never written by the reference
 
         # maximum error: reference iterates rows 1..M-1 over *all* K
@@ -83,15 +91,16 @@ class TfmPvalue:
             self.error_max += max_e
 
         for i in range(M):
-            row = self.int_matrix[i][: K - 1]
-            off = -int(row.min())
+            row = self.int_matrix[i]
+            off = -min(row[: K - 1])
             self.offsets[i] = off
-            self.int_matrix[i][: K - 1] += off
+            for j in range(K - 1):
+                row[j] += off
 
         for i in range(M):
             row = self.int_matrix[i][: K - 1]
-            self.min_score_rows[i] = int(row.min())
-            self.max_score_rows[i] = int(row.max())
+            self.min_score_rows[i] = min(row)
+            self.max_score_rows[i] = max(row)
 
     # -- sparse DP over Q-values (lib.rs:132-183) ----------------------------
 

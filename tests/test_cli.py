@@ -1,0 +1,102 @@
+"""CLI end-to-end tests (reference ``lightmotif-cli``)."""
+
+import gzip
+
+import pytest
+
+from lightmotif_tpu.cli import main
+
+MATRICES = """\
+>motif1\ttest
+A  [  0  0  0  0  2  0  0  0  1  1  0  0  2  2  0 ]
+C  [  0  0  0  0  0  1  2  1  0  0  0  2  0  0  2 ]
+G  [  2  0  0  2  0  0  0  0  0  1  0  0  0  0  0 ]
+T  [  0  2  2  0  0  1  0  1  1  0  2  0  0  0  0 ]
+"""
+
+FASTA = """\
+>seq1 a test sequence
+ATGTCCCAACAACGATACCCCGAGCCCATCGCC
+GTCATCGGCTCGGCATGCAGATTCCCAGGCG
+>seq2
+GTTGACCTTATCAACGTTGACCTTATCAAC
+"""
+
+
+@pytest.fixture()
+def files(tmp_path):
+    m = tmp_path / "motifs.jaspar16"
+    m.write_text(MATRICES)
+    s = tmp_path / "seqs.fa"
+    s.write_text(FASTA)
+    o = tmp_path / "out.tsv"
+    return str(m), str(s), str(o)
+
+
+def run(files, *extra):
+    m, s, o = files
+    rc = main(["-m", m, "--format", "jaspar16", "-s", s, "-o", o, "-q", *extra])
+    assert rc == 0
+    with open(o) as fh:
+        lines = fh.read().splitlines()
+    header = lines[0].split("\t")
+    assert header == [
+        "seq_index", "seq_name", "motif_index", "motif_name",
+        "pos", "strand", "score", "pvalue",
+    ]
+    return [line.split("\t") for line in lines[1:]]
+
+
+def test_scan_finds_planted_sites(files):
+    rows = run(files, "--abs-threshold", "-10")
+    # seq2 contains the motif twice (positions 0 and 15)
+    seq2 = [r for r in rows if r[1] == "seq2"]
+    positions = sorted(int(r[4]) for r in seq2)
+    assert {0, 15} <= set(positions)
+    for r in seq2:
+        assert r[5] == "+"
+        assert float(r[7]) <= 1.0
+
+
+def test_pvalue_threshold(files):
+    rows = run(files, "-P", "1e-4")
+    assert all(float(r[7]) <= 1e-3 for r in rows)
+    seq2 = [r for r in rows if r[1] == "seq2"]
+    assert len(seq2) >= 2
+
+
+def test_reverse_strand(files, tmp_path):
+    rows = run(files, "--abs-threshold", "-10", "--reverse")
+    strands = {r[5] for r in rows}
+    assert "+" in strands
+    # the planted motif's reverse complement appears on the - strand of
+    # a sequence containing the forward motif? only if palindromic; at
+    # minimum the scan must not crash and may emit - hits
+    assert strands <= {"+", "-"}
+
+
+def test_rel_threshold(files):
+    rows = run(files, "--rel-threshold", "0.8")
+    assert all(r[5] == "+" for r in rows)
+
+
+def test_gzip_inputs(tmp_path):
+    m = tmp_path / "motifs.gz"
+    with gzip.open(m, "wt") as fh:
+        fh.write(MATRICES)
+    s = tmp_path / "seqs.fa.gz"
+    with gzip.open(s, "wt") as fh:
+        fh.write(FASTA)
+    o = tmp_path / "out.tsv"
+    rc = main(["-m", str(m), "--format", "jaspar16", "-s", str(s),
+               "-o", str(o), "-q", "--abs-threshold", "-10"])
+    assert rc == 0
+    assert len(open(o).read().splitlines()) >= 3
+
+
+def test_mesh_matches_single(files):
+    m, s, o = files
+    rows_single = run(files, "--abs-threshold", "-12")
+    rows_mesh = run(files, "--abs-threshold", "-12", "--mesh")
+    key = lambda r: (r[0], r[2], int(r[4]), r[5])
+    assert sorted(map(key, rows_single)) == sorted(map(key, rows_mesh))
