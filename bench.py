@@ -49,18 +49,38 @@ def build_inputs():
     return pssm, seq
 
 
-def bench_queued(fn, *args, reps=REPS):
-    """Median per-iteration time over batches of queued dispatches."""
-    import jax
+def bench_slope(fn_carry, args, probe, r_lo=1, r_hi=51, trials=3):
+    """Per-iteration device time via in-jit repetition slopes.
 
-    jax.block_until_ready(fn(*args))
-    batches = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(reps)]
-        jax.block_until_ready(outs)
-        batches.append((time.perf_counter() - t0) / reps)
-    return float(np.median(batches))
+    See ``tools/perf.py``: the remote-TPU tunnel neither synchronizes on
+    ``block_until_ready`` nor re-executes identical dispatches, so the
+    benchmark loops on-device inside ``lax.fori_loop`` with a carry that
+    perturbs the operands (``* 1e-45`` flushes to zero at runtime but is
+    opaque to the compiler) and forces completion with a host read.  The
+    fixed round-trip cancels in the slope between two repetition counts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def looped(r):
+        def body(_, carry):
+            out = fn_carry(*args, carry)
+            val = out.reshape(-1)[probe].astype(jnp.float32)
+            return carry + val * jnp.float32(1e-45)
+
+        return jax.jit(lambda: jax.lax.fori_loop(0, r, body, jnp.float32(0.0)))
+
+    results = {}
+    for r in (r_lo, r_hi):
+        f = looped(r)
+        float(jax.device_get(f()))
+        best = np.inf
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(jax.device_get(f()))
+            best = min(best, time.perf_counter() - t0)
+        results[r] = best
+    return (results[r_hi] - results[r_lo]) / (r_hi - r_lo)
 
 
 def main() -> None:
@@ -71,7 +91,7 @@ def main() -> None:
     from lightmotif_tpu.ops.pipeline import DeviceSequence
 
     pssm, seq = build_inputs()
-    dseq = DeviceSequence(seq)
+    dseq = DeviceSequence(seq, pad_multiple=kernels.PAD_LANES)
     m = len(pssm)
     n_scores = dseq.length - m + 1
     pssm_dev = jnp.asarray(np.asarray(pssm.data, dtype=np.float32))
@@ -85,7 +105,11 @@ def main() -> None:
         print(json.dumps({"error": "parity check failed"}), file=sys.stderr)
         raise SystemExit(1)
 
-    t = bench_queued(fn, dseq.data, pssm_dev)
+    t = bench_slope(
+        lambda s, p, carry: kernels.score_f32(s, p + carry, n_scores),
+        (dseq.data, pssm_dev),
+        probe=n_scores - 1,
+    )
     pos_per_s = n_scores / t
 
     print(

@@ -64,3 +64,45 @@ def read_fasta(file):
             raise ValueError("FASTA data before first header")
     if name is not None:
         yield FastaRecord(name, desc, "".join(chunks))
+
+
+def read_fasta_encoded(file, alphabet=None):
+    """Parse + lossy-encode a whole FASTA file in one native pass.
+
+    Returns a list of ``(name, description, EncodedSequence)``; this is
+    the fast data-loader path (C++ extension, GIL released), falling
+    back to :func:`read_fasta` + :meth:`EncodedSequence.encode_lossy`.
+    """
+    import numpy as np
+
+    from .alphabet import DNA
+    from .sequence import EncodedSequence
+    from . import native
+
+    alphabet = alphabet or DNA
+    mod = native.get()
+    if mod is not None:
+        if isinstance(file, (str, os.PathLike)):
+            handle = _open_text(file)
+        else:
+            handle = _open_text(file)
+        data = handle.read().encode("ascii", errors="replace")
+        records = mod.parse_fasta(
+            data, alphabet.lut.tobytes(), alphabet.default_index
+        )
+        return [
+            (
+                name,
+                desc,
+                EncodedSequence(np.frombuffer(enc, dtype=np.uint8), alphabet),
+            )
+            for name, desc, enc in records
+        ]
+    return [
+        (
+            rec.name,
+            rec.description,
+            EncodedSequence.encode_lossy(rec.sequence, alphabet),
+        )
+        for rec in read_fasta(file)
+    ]

@@ -14,19 +14,13 @@ its memory layout to the SIMD width (32-lane Farrar striping with AVX2
   the next one as halo.  Chunk boundaries are handled like the
   reference's wrap rows (``seq.rs:369-381``): the final block's halo is
   the *next chunk's head*, obtained by rolling block 0 one sublane up;
-* scoring uses a Horner/systolic recurrence so every symbol lookup
-  reads *aligned* data:
-
-      acc <- A_{m-1};  acc <- A_j + shift1(acc)   (j = m-2 .. 0)
-
-  where ``A_j[p] = w[j, s[p]]`` is an exact K-way select from
-  per-symbol masks computed once per block, and ``shift1`` moves the
-  accumulator one lane left.  The resulting f32 sum order is
-  ``w[0]+(w[1]+(...))`` -- right-to-left.  To keep *bit parity* with the
-  reference's left-to-right sum (``pli/mod.rs:96-105``), the f32 path
-  instead accumulates left-to-right over the halo-extended block (see
-  ``_select_kernel``); both paths avoid misaligned mask slices by
-  shifting one lane per motif row;
+* scoring accumulates ``acc += roll(A_j, -j lanes)`` for motif rows
+  ``j = 0..m-1``, where ``A_j[p] = w[j, s[p]]`` is an exact K-way
+  select from per-symbol masks computed *once* per block on aligned
+  data; rolls replace the misaligned slices a naive windowing would
+  need.  The adds run in ascending ``j`` order, so each f32 score is
+  bit-identical to the reference's sequential sum
+  (``pli/mod.rs:96-105``);
 * the discrete path accumulates the u8 matrix in f32 (all addends are
   small non-negative integers: every partial sum is exact) and clamps
   to 255 at the end, which equals the reference's stepwise saturating
@@ -51,7 +45,7 @@ __all__ = ["score_f32", "score_u8", "PAD_LANES", "CHUNKS"]
 CHUNKS = 512
 
 #: Lane-block size (positions per chunk per grid step).
-BLOCK_LANES = 256
+BLOCK_LANES = 1024
 
 #: Flat sequences consumed by these kernels must be padded to a
 #: multiple of CHUNKS * BLOCK_LANES.
@@ -166,6 +160,14 @@ def _score_chunked(seq, table, n_scores, chunks, block_lanes, discrete):
         interpret=INTERPRET,
     )(table, view, view)
     return out.reshape(-1)  # free: layout already flat-contiguous
+
+
+def preferred_pad() -> int:
+    """Sequence pad multiple for the active platform: the Pallas kernel
+    geometry on TPU, the smaller XLA tile multiple elsewhere."""
+    if INTERPRET or jax.devices()[0].platform in ("tpu", "axon"):
+        return PAD_LANES
+    return xla_ops.PAD_MULTIPLE
 
 
 def _supports_pallas(seq, m: int) -> bool:

@@ -42,11 +42,14 @@ class DeviceSequence:
     __slots__ = ("alphabet", "length", "data")
 
     def __init__(self, encoded: EncodedSequence, pad_multiple: int | None = None):
+        if pad_multiple is None:
+            # pad to the Pallas kernel geometry so the fast path engages
+            from . import kernels
+
+            pad_multiple = kernels.preferred_pad()
         self.alphabet = encoded.alphabet
         self.length = len(encoded)
-        lp = xla_ops.pad_length(
-            self.length, pad_multiple or xla_ops.PAD_MULTIPLE
-        )
+        lp = xla_ops.pad_length(self.length, pad_multiple)
         host = np.full(lp, encoded.alphabet.default_index, dtype=np.int8)
         host[: self.length] = encoded.data
         self.data = jax.device_put(host)

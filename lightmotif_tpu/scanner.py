@@ -104,18 +104,25 @@ class Scanner:
         dm_dev = jnp.asarray(np.asarray(self.dm.data, dtype=np.uint8))
         t_scaled = np.int32(self.dm.scale(self.threshold))
 
-        seg = min(self.block_size, xla_ops.pad_length(n_total))
-        seg = xla_ops.pad_length(seg, xla_ops.PAD_MULTIPLE)
+        from .ops import kernels
+
+        # segment length is a multiple of the Pallas kernel geometry;
+        # each device chunk carries one extra geometry block as halo
+        # (covers the motif window and keeps the fast path engaged)
+        unit = kernels.preferred_pad()
+        seg = max(unit, min(self.block_size, xla_ops.pad_length(n_total, unit)))
+        seg = xla_ops.pad_length(seg, unit)
+        chunk_len = seg + unit
         lp = int(dseq.data.shape[0])
 
         off = 0
         while off < n_total:
             n_here = min(seg, n_total - off)
-            # slice segment + halo (m-1 extra symbols), fixed shape
-            if off + seg + m - 1 <= lp:
-                chunk = jax.lax.dynamic_slice(dseq.data, (off,), (seg + m - 1,))
+            # slice segment + halo, fixed shape
+            if off + chunk_len <= lp:
+                chunk = jax.lax.dynamic_slice(dseq.data, (off,), (chunk_len,))
             else:
-                pad = off + seg + m - 1 - lp
+                pad = off + chunk_len - lp
                 chunk = jnp.concatenate(
                     [
                         jax.lax.dynamic_slice(dseq.data, (off,), (lp - off,)),

@@ -32,10 +32,24 @@ DEFAULT_COLUMNS = 32
 def _encode_bytes(data: bytes, alphabet: Alphabet, lossy: bool) -> np.ndarray:
     """ASCII -> rank encode using the alphabet's 256-entry LUT.
 
-    Vectorized equivalent of the reference's SIMD ``encode_into``
-    (``pli/platform/avx2.rs:40-99``): one table lookup per byte plus a
-    single validity reduction.
+    Host-runtime equivalent of the reference's SIMD ``encode_into``
+    (``pli/platform/avx2.rs:40-99``): the C++ extension does one table
+    lookup per byte with the GIL released; the NumPy path is the
+    fallback.
     """
+    from . import native
+
+    mod = native.get()
+    if mod is not None:
+        try:
+            out = mod.encode(
+                data, alphabet.lut.tobytes(), lossy, alphabet.default_index
+            )
+        except ValueError as e:
+            pos = int(str(e).rsplit(" ", 1)[-1])
+            raise InvalidSymbolError(chr(data[pos])) from None
+        return np.frombuffer(out, dtype=np.uint8)
+
     raw = np.frombuffer(data, dtype=np.uint8)
     encoded = alphabet.lut[raw]
     invalid = encoded == 255
