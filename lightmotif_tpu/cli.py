@@ -118,6 +118,34 @@ def _scan(pssm, seq, threshold, args):
     return scanner.collect()
 
 
+def _scan_all(motifs, seq, args):
+    """Yield (job, strand, hit) for every motif/strand over one sequence.
+
+    With multiple motifs (and no mesh) all (motif, strand) matrices scan
+    in a single fused device pass (:class:`MultiScanner`)."""
+    strands = []
+    for job in motifs:
+        if args.direct:
+            strands.append((job, "+", job.pssm))
+        if job.reverse is not None:
+            strands.append((job, "-", job.reverse))
+    if args.mesh or len(strands) <= 1:
+        for job, strand, pssm in strands:
+            for hit in _scan(pssm, seq, job.threshold, args):
+                yield job, strand, hit
+        return
+    from .scanner import MultiScanner
+
+    scanner = MultiScanner(
+        [p for _, _, p in strands],
+        seq,
+        [job.threshold for job, _, _ in strands],
+    )
+    for hit in scanner.collect():
+        job, strand, _ = strands[hit.motif]
+        yield job, strand, hit
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     alphabet = PROTEIN if args.protein else DNA
@@ -141,21 +169,14 @@ def main(argv=None) -> int:
         )
         for si, record in enumerate(read_fasta(args.sequences)):
             seq = EncodedSequence.encode_lossy(record.sequence, alphabet)
-            for job in motifs:
-                strands = []
-                if args.direct:
-                    strands.append(("+", job.pssm))
-                if job.reverse is not None:
-                    strands.append(("-", job.reverse))
-                for strand, pssm in strands:
-                    for hit in _scan(pssm, seq, job.threshold, args):
-                        pv = job.dist.pvalue(hit.score)
-                        out.write(
-                            f"{si + 1}\t{record.name}\t{job.index + 1}\t"
-                            f"{job.name}\t{hit.position}\t{strand}\t"
-                            f"{np.float32(hit.score)}\t{pv:e}\n"
-                        )
-                        n_hits += 1
+            for job, strand, hit in _scan_all(motifs, seq, args):
+                pv = job.dist.pvalue(hit.score)
+                out.write(
+                    f"{si + 1}\t{record.name}\t{job.index + 1}\t"
+                    f"{job.name}\t{hit.position}\t{strand}\t"
+                    f"{np.float32(hit.score)}\t{pv:e}\n"
+                )
+                n_hits += 1
             if not args.quiet:
                 print(
                     f"[{time.perf_counter() - t0:8.2f}s] {si + 1} sequences, "

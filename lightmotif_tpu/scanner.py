@@ -30,7 +30,7 @@ from .ops import xla_ops
 from .ops.pipeline import DeviceSequence, _as_device_seq
 from .sequence import EncodedSequence, StripedSequence
 
-__all__ = ["Hit", "Scanner"]
+__all__ = ["Hit", "Scanner", "MultiHit", "MultiScanner"]
 
 #: Number of positions scored per device invocation.
 DEFAULT_SEGMENT = 1 << 22
@@ -173,3 +173,98 @@ class Scanner:
             if best is None or cand > best:
                 best = cand
         return best
+
+
+class MultiHit(Hit):
+    """A hit annotated with the motif that produced it."""
+
+    __slots__ = ("motif",)
+
+    def __init__(self, motif: int, position: int, score: float):
+        super().__init__(position, score)
+        self.motif = int(motif)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"MultiHit(motif={self.motif}, position={self.position}, "
+            f"score={self.score})"
+        )
+
+
+class MultiScanner:
+    """Scan many PSSMs over a sequence in one fused device program.
+
+    TPU-native replacement for the reference CLI's (motif x sequence)
+    thread pool: all motifs score simultaneously on the MXU
+    (:mod:`lightmotif_tpu.ops.multi`).  ``thresholds`` may be a scalar
+    or one value per motif.
+    """
+
+    def __init__(self, pssms, seq, thresholds=0.0, capacity: int = DEFAULT_CAPACITY):
+        from .ops import multi
+
+        self.pssms = list(pssms)
+        if not self.pssms:
+            raise ValueError("no motifs given")
+        k = self.pssms[0].alphabet.size
+        self.dms = [p.to_discrete() for p in self.pssms]
+        self.pssm_stack, self.lengths = multi.stack_motifs(
+            [np.asarray(p.data, np.float32) for p in self.pssms], k
+        )
+        self.dm_stack, _ = multi.stack_motifs(
+            [d.data.astype(np.float32) for d in self.dms], k
+        )
+        if np.isscalar(thresholds):
+            thresholds = [float(thresholds)] * len(self.pssms)
+        self.thresholds = np.asarray(thresholds, dtype=np.float32)
+        self.t_scaled = np.asarray(
+            [d.scale(t) for d, t in zip(self.dms, self.thresholds)],
+            dtype=np.int32,
+        )
+        self.capacity = int(capacity)
+        m_max = int(self.lengths.max())
+        self._dseq = _as_device_seq(seq)
+        if int(self._dseq.data.shape[0]) - self._dseq.length < m_max:
+            # ensure at least m_max wildcard padding for safe rescoring
+            from .ops.pipeline import DeviceSequence
+
+            self._dseq = DeviceSequence(
+                seq.unstripe() if isinstance(seq, StripedSequence) else seq,
+                pad_multiple=xla_ops.pad_length(
+                    self._dseq.length + m_max, xla_ops.PAD_MULTIPLE
+                ),
+            )
+
+    def collect(self) -> list:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops import multi
+
+        dseq = self._dseq
+        n_valid = np.maximum(dseq.length - self.lengths + 1, 0).astype(np.int32)
+        cap = self.capacity
+        while True:
+            count, positions, motif_ids, scores, keep = multi.scan_multi_block(
+                dseq.data,
+                jnp.asarray(self.dm_stack),
+                jnp.asarray(self.pssm_stack),
+                jnp.asarray(self.lengths),
+                jnp.asarray(n_valid),
+                jnp.asarray(self.t_scaled),
+                jnp.asarray(self.thresholds),
+                cap,
+            )
+            count = int(count)
+            if count <= cap:
+                break
+            cap = max(cap * 2, count)
+        positions = np.asarray(positions)
+        motif_ids = np.asarray(motif_ids)
+        scores = np.asarray(scores)
+        sel = np.asarray(keep).nonzero()[0]
+        order = sel[np.lexsort((positions[sel], motif_ids[sel]))]
+        return [
+            MultiHit(int(motif_ids[i]), int(positions[i]), float(scores[i]))
+            for i in order
+        ]

@@ -1,0 +1,65 @@
+"""Multi-motif fused scanning tests."""
+
+import numpy as np
+import pytest
+
+from lightmotif_tpu import CountMatrix, EncodedSequence
+from lightmotif_tpu.scanner import MultiScanner, Scanner
+
+from .data import PATTERNS, build_pssm
+
+
+def make_motifs():
+    pssm1 = build_pssm()
+    cm2 = CountMatrix.from_sequences(
+        [EncodedSequence.encode("ACGTACGT"), EncodedSequence.encode("ACGAACGT")]
+    )
+    pssm2 = cm2.to_freq(0.1).to_scoring(None)
+    cm3 = CountMatrix.from_sequences(
+        [EncodedSequence.encode("TTTTTTTTTTTT"), EncodedSequence.encode("TTTTTTATTTTT")]
+    )
+    pssm3 = cm3.to_freq(0.1).to_scoring(None)
+    return [pssm1, pssm2, pssm3]
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(99)
+    return EncodedSequence.encode("".join(rng.choice(list("ACGT"), size=50_000)))
+
+
+def test_multi_matches_single(genome):
+    motifs = make_motifs()
+    thresholds = [-12.0, -4.0, -6.0]
+    multi = MultiScanner(motifs, genome, thresholds).collect()
+    for mid, (pssm, thr) in enumerate(zip(motifs, thresholds)):
+        expected = sorted(
+            (h.position, round(h.score, 4))
+            for h in Scanner(pssm, genome, threshold=thr)
+        )
+        got = sorted(
+            (h.position, round(h.score, 4)) for h in multi if h.motif == mid
+        )
+        assert got == expected, f"motif {mid}"
+
+
+def test_multi_exact_scores(genome):
+    motifs = make_motifs()
+    multi = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0]).collect()
+    assert multi, "expected some hits"
+    for h in multi[:50]:
+        exact = motifs[h.motif].score_position(genome, h.position)
+        assert h.score == exact  # bit-exact f32
+
+
+def test_multi_scalar_threshold(genome):
+    motifs = make_motifs()
+    hits = MultiScanner(motifs, genome, -8.0).collect()
+    assert all(h.score >= -8.0 for h in hits)
+
+
+def test_multi_capacity_retry(genome):
+    motifs = make_motifs()
+    small = MultiScanner(motifs, genome, -12.0, capacity=8).collect()
+    big = MultiScanner(motifs, genome, -12.0).collect()
+    assert len(small) == len(big)
