@@ -260,6 +260,11 @@ class Pseudocounts:
 def as_pseudocounts(value, alphabet: Alphabet) -> Pseudocounts:
     if isinstance(value, Pseudocounts):
         return value
+    if isinstance(value, dict):
+        arr = np.zeros(alphabet.size, dtype=np.float32)
+        for sym, v in value.items():
+            arr[alphabet.symbols.index(sym)] = v
+        return Pseudocounts(alphabet, arr)
     return Pseudocounts(alphabet, value)
 
 
@@ -268,4 +273,9 @@ def as_background(value, alphabet: Alphabet) -> Background:
         return Background.uniform(alphabet)
     if isinstance(value, Background):
         return value
+    if isinstance(value, dict):
+        arr = np.zeros(alphabet.size, dtype=np.float32)
+        for sym, v in value.items():
+            arr[alphabet.symbols.index(sym)] = v
+        return Background(alphabet, arr)
     return Background(alphabet, value)

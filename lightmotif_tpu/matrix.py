@@ -152,6 +152,35 @@ class CountMatrix(_MatrixBase):
             raise InvalidDataError("no sequences given")
         return cls(alphabet, data, n)
 
+    @classmethod
+    def from_dict(cls, values: dict, alphabet: Alphabet | None = None,
+                  protein: bool = False) -> "CountMatrix":
+        """Build from a symbol -> counts mapping (reference Python
+        ``CountMatrix.__init__``, ``lib.rs:408-460``)."""
+        from .alphabet import DNA, PROTEIN
+
+        if alphabet is None:
+            alphabet = PROTEIN if protein else DNA
+        lengths = {len(v) for v in values.values()}
+        if len(lengths) != 1:
+            raise InvalidDataError("count rows must all have the same length")
+        n = lengths.pop()
+        data = np.zeros((n, alphabet.size), dtype=np.uint32)
+        for sym, col in values.items():
+            data[:, alphabet.symbols.index(sym)] = col
+        return cls(alphabet, data)
+
+    def normalize(self, pseudocount=None) -> "WeightMatrix":
+        """Counts -> odds ratios against the uniform background
+        (reference Python ``CountMatrix.normalize``, ``lib.rs:500-526``).
+
+        ``pseudocount`` may be None (no pseudocount), a scalar, or a
+        symbol -> value mapping.
+        """
+        return self.to_freq(0.0 if pseudocount is None else pseudocount).to_weight(
+            None
+        )
+
     def sequence_count(self) -> int:
         return self.n
 
@@ -299,6 +328,11 @@ class WeightMatrix(_MatrixBase):
             acc = np.float32(acc + racc)
         return float(acc)
 
+    def log_odds(self, background=None, base: float = 2.0) -> "ScoringMatrix":
+        """Rescale against ``background`` then take log-odds (reference
+        Python ``WeightMatrix.log_odds``, ``lib.rs:608-660``)."""
+        return self.rescale(background).to_scoring(base)
+
     def to_scoring(self, base: float = 2.0) -> "ScoringMatrix":
         """Take log-odds with the given base (``pwm/mod.rs:513-526``)."""
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -403,13 +437,23 @@ class ScoringMatrix(_MatrixBase):
             acc += data[j][s[j : j + n]]
         return acc
 
-    def score(self, seq):
-        """Score every position of a sequence on the accelerator.
+    def score(self, seq, method: str = "meme"):
+        """Score a sequence, or convert a p-value to a score threshold.
 
-        Accepts an :class:`EncodedSequence` or :class:`StripedSequence`;
-        returns a :class:`lightmotif_tpu.scores.StripedScores` for API
-        parity with the reference (``pwm/mod.rs:640-648``).
+        * sequence argument (``EncodedSequence``/``StripedSequence``/
+          text): scores every position on the accelerator and returns
+          :class:`~lightmotif_tpu.scores.StripedScores`
+          (``pwm/mod.rs:640-648``);
+        * numeric argument: treated as a p-value and converted to the
+          score achieving it, matching the reference Python bindings'
+          ``ScoringMatrix.score(pvalue, method)`` (``lib.rs:914-940``).
         """
+        if isinstance(seq, (int, float)) and not isinstance(seq, bool):
+            return self.score_for_pvalue(float(seq), method=method)
+        if isinstance(seq, (str, bytes)):
+            from .sequence import EncodedSequence as _ES
+
+            seq = _ES.encode(seq, self.alphabet)
         from .ops.pipeline import score as _score
 
         return _score(self, seq)
@@ -421,7 +465,7 @@ class ScoringMatrix(_MatrixBase):
 
     # -- statistics ------------------------------------------------------------
 
-    def pvalue(self, score: float, method: str = "tfmpvalue") -> float:
+    def pvalue(self, score: float, method: str = "meme") -> float:
         """P-value of a score, via exact TFM-PVALUE or the MEME
         distribution (``lib.rs:868-905``)."""
         if method == "tfmpvalue":
@@ -430,7 +474,7 @@ class ScoringMatrix(_MatrixBase):
             return self.score_distribution().pvalue(float(score))
         raise ValueError(f"unknown method {method!r}")
 
-    def score_for_pvalue(self, pvalue: float, method: str = "tfmpvalue") -> float:
+    def score_for_pvalue(self, pvalue: float, method: str = "meme") -> float:
         """Score threshold achieving a p-value."""
         if method == "tfmpvalue":
             return self._tfmp().score(float(pvalue))
