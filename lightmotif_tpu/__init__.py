@@ -36,6 +36,13 @@ from .sequence import EncodedSequence, StripedSequence
 from .scanner import Hit, Scanner
 from .sampler import Sampler, SamplerData
 from .tfmpvalue import TfmPvalue
+from .motif import (
+    JasparMotif,
+    MemeMotif,
+    Motif,
+    TransfacMotif,
+    UniprobeMotif,
+)
 
 __all__ = [
     "DNA",
@@ -66,6 +73,10 @@ __all__ = [
     "load",
     "Loader",
     "Motif",
+    "JasparMotif",
+    "TransfacMotif",
+    "MemeMotif",
+    "UniprobeMotif",
 ]
 
 
@@ -90,18 +101,6 @@ class Loader:
 
 
 # -- convenience API (parity with lightmotif-py ``lib.rs:1351-1470``) --------
-
-
-class Motif:
-    """A named motif: counts + weights + scoring matrix."""
-
-    __slots__ = ("counts", "pwm", "pssm", "name")
-
-    def __init__(self, counts=None, pwm=None, pssm=None, name=None):
-        self.counts = counts
-        self.pwm = pwm
-        self.pssm = pssm
-        self.name = name
 
 
 def create(sequences, protein: bool = False, name: str | None = None) -> Motif:

@@ -87,31 +87,51 @@ def _records(handle, format: str, alphabet):
 def load(file, format: str = "jaspar16", protein: bool = False):
     """Yield :class:`lightmotif_tpu.Motif` objects from a motif file.
 
-    Parity note: like the reference's ``load()``, matrices are converted
-    with a **zero** pseudocount and the file's background if present
-    (``io.rs:41-204``).
+    Each format produces its metadata-carrying subclass
+    (:class:`JasparMotif` / :class:`TransfacMotif` / :class:`MemeMotif`
+    / :class:`UniprobeMotif`).  Parity note: like the reference's
+    ``load()``, matrices are converted with a **zero** pseudocount and
+    the file's background if present (``io.rs:41-204``).
     """
-    from .. import Motif
+    from ..motif import JasparMotif, MemeMotif, TransfacMotif, UniprobeMotif
 
     alphabet = PROTEIN if protein else DNA
     handle = _open_text(file)
     for record in _records(handle, format, alphabet):
-        motif = Motif(name=getattr(record, "id", None) or None)
+        name = getattr(record, "id", None) or None
         if isinstance(record, CountRecord):
+            motif = JasparMotif(
+                name=name, description=getattr(record, "description", None)
+            )
             motif.counts = record.matrix()
             freq = motif.counts.to_freq(0.0)
         elif isinstance(record, TransfacRecord):
+            motif = TransfacMotif(
+                name=record.accession or record.id or record.name,
+                id=record.id,
+                accession=record.accession,
+                description=record.description,
+                dates=record.dates,
+                references=record.references,
+                sites=record.sites,
+            )
             motif.counts = record.to_counts()
             freq = record.to_freq(0.0)
-            motif.name = record.accession or record.id or record.name
         elif isinstance(record, MemeRecord):
+            motif = MemeMotif(
+                name=name,
+                evalue=record.evalue,
+                nsites=record.nsites,
+                url=record.url,
+                background=record.background,
+            )
             freq = record.matrix()
-            bg = record.background
-            motif.pwm = freq.to_weight(bg)
+            motif.pwm = freq.to_weight(record.background)
             motif.pssm = motif.pwm.to_scoring()
             yield motif
             continue
         elif isinstance(record, FrequencyRecord):
+            motif = UniprobeMotif(name=name)
             freq = record.matrix()
         else:  # pragma: no cover
             raise TypeError(type(record).__name__)

@@ -160,6 +160,21 @@ def test_load_motifs():
     assert len(motifs[0].pssm) == 10
 
 
+def test_load_motif_subclasses():
+    import lightmotif_tpu as lm
+
+    (j,) = loads(JASPAR16, format="jaspar16")
+    assert isinstance(j, lm.JasparMotif) and isinstance(j, lm.Motif)
+    (t,) = loads(TRANSFAC, format="transfac")
+    assert isinstance(t, lm.TransfacMotif)
+    assert t.id is not None or t.accession is not None
+    memes = list(loads(MEME, format="meme"))
+    assert all(isinstance(m, lm.MemeMotif) for m in memes)
+    assert memes[0].background is not None
+    (u,) = loads(UNIPROBE, format="uniprobe")
+    assert isinstance(u, lm.UniprobeMotif)
+
+
 def test_load_bytes_and_filelike(tmp_path):
     path = tmp_path / "m.jaspar"
     path.write_text(JASPAR16)
