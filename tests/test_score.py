@@ -101,3 +101,50 @@ def test_argmax_last_tie():
 def test_score_empty(pipeline, pssm):
     scores = pipeline.score(pssm, EncodedSequence.encode("ACGT"))
     assert len(scores) == 0
+
+
+def test_score_protein(pipeline):
+    # K=21 path: exact parity with the sequential host oracle
+    from lightmotif_tpu import PROTEIN, CountMatrix
+
+    rng = np.random.default_rng(7)
+    sites = [
+        "".join(PROTEIN.symbols[i] for i in rng.integers(0, 20, size=8))
+        for _ in range(6)
+    ]
+    cm = CountMatrix.from_sequences(
+        EncodedSequence.encode(s, PROTEIN) for s in sites
+    )
+    pssm = cm.to_freq(0.1).to_weight(None).to_scoring()
+    seq = EncodedSequence(
+        rng.integers(0, 20, size=500, dtype=np.uint8).astype(np.uint8), PROTEIN
+    )
+    scores = np.asarray(pipeline.score(pssm, seq).unstripe())
+    host = pssm.score_host(seq)
+    assert np.array_equal(scores, host)
+
+
+def test_scan_protein():
+    # two-pass scanner on the protein alphabet matches brute force
+    from lightmotif_tpu import PROTEIN, CountMatrix
+    from lightmotif_tpu.scanner import Scanner
+
+    rng = np.random.default_rng(11)
+    sites = [
+        "".join(PROTEIN.symbols[i] for i in rng.integers(0, 20, size=6))
+        for _ in range(4)
+    ]
+    cm = CountMatrix.from_sequences(
+        EncodedSequence.encode(s, PROTEIN) for s in sites
+    )
+    pssm = cm.to_freq(0.1).to_weight(None).to_scoring()
+    seq = EncodedSequence(
+        rng.integers(0, 21, size=400, dtype=np.uint8).astype(np.uint8), PROTEIN
+    )
+    host = pssm.score_host(seq)
+    threshold = float(np.sort(host)[-5])
+    got = {(h.position, np.float32(h.score)) for h in Scanner(pssm, seq, threshold=threshold)}
+    want = {
+        (i, s) for i, s in enumerate(host.astype(np.float32)) if s >= threshold
+    }
+    assert got == want
