@@ -41,11 +41,12 @@ from . import xla_ops
 
 __all__ = ["score_f32", "score_u8", "PAD_LANES", "CHUNKS"]
 
-#: Chunks (sublane axis) of the flat layout.
-CHUNKS = 512
+#: Chunks (sublane axis) of the flat layout.  [256 x 2048] measured
+#: ~10% faster than [512 x 1024] on v5e (experiments/perf_variants5.out).
+CHUNKS = 256
 
 #: Lane-block size (positions per chunk per grid step).
-BLOCK_LANES = 1024
+BLOCK_LANES = 2048
 
 #: Flat sequences consumed by these kernels must be padded to a
 #: multiple of CHUNKS * BLOCK_LANES.
