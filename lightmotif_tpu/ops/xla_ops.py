@@ -245,3 +245,57 @@ def scan_block(seq, dm, pssm, t_scaled, threshold, n_scores: int, cap: int):
     fscores = rescore_positions(seq, pssm, idx)
     keep = (idx < n_scores) & (fscores >= threshold)
     return count, idx, fscores, keep
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_len", "cap", "dense"),
+    donate_argnums=(),
+)
+def scan_segment(seq, off, n_here, dm, pssm, t_scaled, threshold,
+                 chunk_len: int, cap: int, dense: bool = False):
+    """Two-pass scan of one segment, sliced and fully reduced on device.
+
+    Built for a remote/tunneled TPU where host<->device bytes dominate:
+    the segment slice happens in-program, accepted hits are compacted to
+    the *front* of fixed buffers, and the host needs only ``counts``
+    (2 ints) plus ``positions[:n_kept]`` / ``scores[:n_kept]``.
+
+    ``off`` and ``n_here`` are dynamic (no recompile per segment);
+    ``seq`` must be padded so ``off + chunk_len <= len(seq)`` for every
+    segment.  Returns ``(counts[2] = [discrete_candidates, n_kept],
+    positions[cap], scores[cap])`` with accepted hits front-compacted in
+    ascending position order.
+
+    ``dense=False`` uses the cheap hierarchical compaction (best when
+    candidates are sparse); it over-signals ``count`` when candidates
+    spread over more segments than its internal capacity, in which case
+    the caller should retry once with ``dense=True`` (full-length
+    ``nonzero``; one sort, exact for any density).
+    """
+    from . import kernels
+
+    chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
+    dscores = kernels.score_u8(chunk, dm, chunk_len)
+    pos = jax.lax.broadcasted_iota(jnp.int32, dscores.shape, 0)
+    dscores = jnp.where(pos < n_here, dscores, -1)
+    if dense:
+        mask = dscores >= t_scaled
+        count = jnp.sum(mask.astype(jnp.int32))
+        (idx,) = jnp.nonzero(mask, size=cap, fill_value=dscores.shape[0])
+        idx = idx.astype(jnp.int32)
+    else:
+        count, idx = threshold_positions(dscores, t_scaled, cap)
+    fscores = rescore_positions(chunk, pssm, idx)
+    keep = (idx < n_here) & (fscores >= threshold)
+    # front-compact accepted hits; threshold_positions returns unsorted
+    # segment-grouped indices, so order by position for the iterator.
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    key = jnp.where(keep, idx, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    positions = jnp.take(idx, order)
+    scores = jnp.take(fscores, order)
+    # pack (positions, score bits) in one array: one host transfer
+    packed = jnp.stack(
+        [positions, jax.lax.bitcast_convert_type(scores, jnp.int32)]
+    )
+    return jnp.stack([count, n_kept]), packed

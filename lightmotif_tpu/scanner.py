@@ -32,8 +32,10 @@ from .sequence import EncodedSequence, StripedSequence
 
 __all__ = ["Hit", "Scanner", "MultiHit", "MultiScanner"]
 
-#: Number of positions scored per device invocation.
-DEFAULT_SEGMENT = 1 << 22
+#: Number of positions scored per device invocation.  Large enough that
+#: a bacterial genome is one dispatch: on a remote/tunneled TPU the
+#: per-call round trip, not device time, dominates the scan.
+DEFAULT_SEGMENT = 1 << 23
 
 #: Initial candidate-buffer capacity per segment.
 DEFAULT_CAPACITY = 1 << 16
@@ -86,11 +88,18 @@ class Scanner:
         self.block_size = int(block_size)
         self.capacity = int(capacity)
         self._dseq = _as_device_seq(seq)
+        self._scan_data = None  # lazily-built scan buffer (halo-padded)
 
     # -- internals ----------------------------------------------------------
 
     def _scan_segments(self):
-        """Yield (positions, scores) arrays of accepted hits per segment."""
+        """Yield (positions, scores) arrays of accepted hits per segment.
+
+        Device-round-trip-frugal protocol (the TPU may sit behind a
+        slow tunnel): one fused dispatch per segment slices the segment
+        in-program and front-compacts accepted hits, and the host
+        transfers 2 counters plus only the ``n_kept`` live entries.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -113,43 +122,61 @@ class Scanner:
         seg = max(unit, min(self.block_size, xla_ops.pad_length(n_total, unit)))
         seg = xla_ops.pad_length(seg, unit)
         chunk_len = seg + unit
-        lp = int(dseq.data.shape[0])
+
+        # scan-owned device buffer padded so every in-program slice
+        # ``[off, off + chunk_len)`` is in bounds
+        n_segments = -(-n_total // seg)
+        data = self._scan_data
+        need = (n_segments - 1) * seg + chunk_len
+        if data is None or int(data.shape[0]) < need:
+            lp = int(dseq.data.shape[0])
+            if lp >= need:
+                data = dseq.data
+            else:  # pad on device; the genome never crosses the host link
+                data = jnp.concatenate(
+                    [
+                        dseq.data,
+                        jnp.full(
+                            (need - lp,),
+                            self.pssm.alphabet.default_index,
+                            jnp.int8,
+                        ),
+                    ]
+                )
+            self._scan_data = data
 
         off = 0
         while off < n_total:
             n_here = min(seg, n_total - off)
-            # slice segment + halo, fixed shape
-            if off + chunk_len <= lp:
-                chunk = jax.lax.dynamic_slice(dseq.data, (off,), (chunk_len,))
-            else:
-                pad = off + chunk_len - lp
-                chunk = jnp.concatenate(
-                    [
-                        jax.lax.dynamic_slice(dseq.data, (off,), (lp - off,)),
-                        jnp.full((pad,), self.pssm.alphabet.default_index, jnp.int8),
-                    ]
-                )
             cap = self.capacity
+            dense = False
             while True:
-                count, idx, fscores, keep = xla_ops.scan_block(
-                    chunk,
+                counts, packed = xla_ops.scan_segment(
+                    data,
+                    np.int32(off),
+                    np.int32(n_here),
                     dm_dev,
                     pssm_dev,
                     t_scaled,
                     np.float32(self.threshold),
-                    n_here,
+                    chunk_len,
                     cap,
+                    dense,
                 )
-                count = int(count)
+                count, n_kept = (int(v) for v in jax.device_get(counts))
                 if count <= cap:
                     break
-                cap = max(cap * 2, count)
-            idx = np.asarray(idx)
-            keep = np.asarray(keep)
-            fscores = np.asarray(fscores)
-            sel = keep.nonzero()[0]
-            if sel.size:
-                yield idx[sel] + off, fscores[sel]
+                # one dense retry sized from the exact candidate count
+                # (the sparse path over-signals when candidates spread
+                # over many segments -- don't climb a doubling ladder)
+                dense = True
+                cap = max(self.capacity, 1 << (count - 1).bit_length())
+            self.capacity = cap
+            if n_kept:
+                arr = np.asarray(jax.device_get(packed[:, :n_kept]))
+                positions = arr[0]
+                scores = arr[1].view(np.float32)
+                yield positions + off, scores
             off += seg
 
     # -- public API -----------------------------------------------------------
