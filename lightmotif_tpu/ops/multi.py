@@ -134,3 +134,48 @@ def scan_multi_block(seq, dms, pssms, lengths, n_valid, t_scaled, thresholds,
         & (fscores >= thresholds[motif_ids])
     )
     return count, positions, motif_ids, fscores, keep
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_len", "cap", "dense"))
+def scan_multi_segment(seq, off, n_valid_here, dms, pssms, lengths,
+                       t_scaled, thresholds, chunk_len: int, cap: int,
+                       dense: bool = False):
+    """Fused multi-motif scan of one segment, fully reduced on device.
+
+    Transfer-frugal protocol (see ``xla_ops.scan_segment``): the
+    segment is sliced in-program, accepted hits are front-compacted,
+    and the host reads ``counts[2]`` plus a packed ``[3, :n_kept]``
+    array of (position, motif_id, score bits).
+
+    ``n_valid_here``: int32 ``[M]`` -- window starts of each motif that
+    this segment owns (the caller subtracts the offset and clips).
+    """
+    from . import xla_ops
+
+    chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
+    dscores = score_multi_u8(chunk, dms, lengths, n_valid_here)  # [C, M]
+    mask = (dscores >= t_scaled[None, :]).reshape(-1)
+    if dense:
+        count = jnp.sum(mask.astype(jnp.int32))
+        (idx,) = jnp.nonzero(mask, size=cap, fill_value=mask.shape[0])
+        idx = idx.astype(jnp.int32)
+    else:
+        count, idx = xla_ops.compact_mask(mask, cap)
+    mcount = dms.shape[0]
+    positions = (idx // mcount).astype(jnp.int32)
+    motif_ids = (idx % mcount).astype(jnp.int32)
+    fscores = rescore_multi(chunk, pssms, positions, motif_ids)
+    keep = (
+        (idx < mask.shape[0])
+        & (positions < n_valid_here[jnp.minimum(motif_ids, mcount - 1)])
+        & (fscores >= thresholds[jnp.minimum(motif_ids, mcount - 1)])
+    )
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    key = jnp.where(keep, idx, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    packed = jnp.stack([
+        jnp.take(positions, order),
+        jnp.take(motif_ids, order),
+        jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
+    ])
+    return jnp.stack([count, n_kept]), packed

@@ -38,6 +38,7 @@ __all__ = [
     "max_last",
     "argmax_last",
     "threshold_positions",
+    "compact_mask",
     "rescore_positions",
     "scan_block",
 ]
@@ -151,9 +152,17 @@ _SEG = 512
 def threshold_positions(scores: jax.Array, threshold, cap: int):
     """Fixed-capacity compaction of ``scores >= threshold``.
 
+    Returns ``(count, indices[cap])``; see :func:`compact_mask`.
+    """
+    return compact_mask(scores >= threshold, cap)
+
+
+def compact_mask(mask: jax.Array, cap: int):
+    """Fixed-capacity compaction of the set indices of a boolean mask.
+
     Returns ``(count, indices[cap])`` where unused slots are filled with
-    ``scores.shape[0]`` (an out-of-range sentinel).  If ``count > cap``
-    the caller must retry with a larger capacity.
+    an out-of-range sentinel.  If ``count > cap`` the caller must retry
+    with a larger capacity.
 
     ``jnp.nonzero`` lowers to a full-length sort on TPU (~50 ms on a
     genome); instead the compaction is hierarchical: per-segment
@@ -161,19 +170,18 @@ def threshold_positions(scores: jax.Array, threshold, cap: int):
     indices, a gather of only the active segments, and a small sort to
     extract positions.  Sound for any density: if the candidates (or the
     active segments) exceed capacity, the returned ``count`` exceeds
-    ``cap`` and the caller's retry kicks in.
+    ``cap`` and the caller's retry kicks in (a single ``dense``
+    ``jnp.nonzero`` pass sized from the exact count).
     """
-    n = scores.shape[0]
+    orig_n = mask.shape[0]
+    n = orig_n
     if n % _SEG:
         pad = _SEG - n % _SEG
-        scores = jnp.concatenate(
-            [scores, jnp.full((pad,), -(2**31) + 1, scores.dtype)]
-        )
-        n = scores.shape[0]
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), jnp.bool_)])
+        n = mask.shape[0]
     n_segs = n // _SEG
     seg_cap = max(64, min(n_segs, -(-cap // _SEG)))
 
-    mask = scores >= threshold
     count = jnp.sum(mask.astype(jnp.int32))
 
     seg_counts = mask.reshape(n_segs, _SEG).sum(axis=1)
@@ -184,13 +192,13 @@ def threshold_positions(scores: jax.Array, threshold, cap: int):
     base = seg_ids.astype(jnp.int32) * _SEG  # sentinel segs -> n (clipped)
     offs = jax.lax.broadcasted_iota(jnp.int32, (seg_cap, _SEG), 1)
     gpos = jnp.minimum(base[:, None] + offs, n - 1)
-    local = scores[gpos.reshape(-1)]
-    lmask = (local >= threshold) & (
-        (base[:, None] + offs).reshape(-1) < n
+    local = mask[gpos.reshape(-1)]
+    lmask = local & (
+        (base[:, None] + offs).reshape(-1) < orig_n
     ) & (seg_ids[:, None] < n_segs).repeat(_SEG, axis=1).reshape(-1)
     (li,) = jnp.nonzero(lmask, size=cap, fill_value=lmask.shape[0])
     allpos = jnp.concatenate(
-        [(base[:, None] + offs).reshape(-1), jnp.array([scores.shape[0]], jnp.int32)]
+        [(base[:, None] + offs).reshape(-1), jnp.array([orig_n], jnp.int32)]
     )
     idx = allpos[jnp.minimum(li, lmask.shape[0])]
     # overflow signal: either raw candidate overflow or segment overflow

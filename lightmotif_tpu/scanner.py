@@ -28,7 +28,6 @@ import numpy as np
 from .matrix import ScoringMatrix
 from .ops import xla_ops
 from .ops.pipeline import DeviceSequence, _as_device_seq
-from .sequence import EncodedSequence, StripedSequence
 
 __all__ = ["Hit", "Scanner", "MultiHit", "MultiScanner"]
 
@@ -249,18 +248,12 @@ class MultiScanner:
             dtype=np.int32,
         )
         self.capacity = int(capacity)
-        m_max = int(self.lengths.max())
         self._dseq = _as_device_seq(seq)
-        if int(self._dseq.data.shape[0]) - self._dseq.length < m_max:
-            # ensure at least m_max wildcard padding for safe rescoring
-            from .ops.pipeline import DeviceSequence
+        self._scan_data = None
 
-            self._dseq = DeviceSequence(
-                seq.unstripe() if isinstance(seq, StripedSequence) else seq,
-                pad_multiple=xla_ops.pad_length(
-                    self._dseq.length + m_max, xla_ops.PAD_MULTIPLE
-                ),
-            )
+    #: Cap on the ``[segment, n_motifs]`` discrete-score matrix (int32
+    #: elements) so device memory stays bounded for big motif sets.
+    MAX_SEGMENT_ELEMS = 128 * 1024 * 1024
 
     def collect(self) -> list:
         import jax
@@ -269,28 +262,85 @@ class MultiScanner:
         from .ops import multi
 
         dseq = self._dseq
+        m_max = int(self.lengths.max())
         n_valid = np.maximum(dseq.length - self.lengths + 1, 0).astype(np.int32)
-        cap = self.capacity
-        while True:
-            count, positions, motif_ids, scores, keep = multi.scan_multi_block(
-                dseq.data,
-                jnp.asarray(self.dm_stack),
-                jnp.asarray(self.pssm_stack),
-                jnp.asarray(self.lengths),
-                jnp.asarray(n_valid),
-                jnp.asarray(self.t_scaled),
-                jnp.asarray(self.thresholds),
-                cap,
-            )
-            count = int(count)
-            if count <= cap:
-                break
-            cap = max(cap * 2, count)
-        positions = np.asarray(positions)
-        motif_ids = np.asarray(motif_ids)
-        scores = np.asarray(scores)
-        sel = np.asarray(keep).nonzero()[0]
-        order = sel[np.lexsort((positions[sel], motif_ids[sel]))]
+        n_total = int(n_valid.max(initial=0))
+        if n_total == 0:
+            return []
+
+        unit = xla_ops.PAD_MULTIPLE
+        if m_max > unit:
+            raise ValueError(f"motif longer than the halo unit ({unit})")
+        mcount = len(self.pssms)
+        seg = max(unit, (self.MAX_SEGMENT_ELEMS // max(mcount, 1)) // unit * unit)
+        seg = min(seg, DEFAULT_SEGMENT, xla_ops.pad_length(n_total, unit))
+        chunk_len = seg + unit
+
+        n_segments = -(-n_total // seg)
+        need = (n_segments - 1) * seg + chunk_len
+        data = self._scan_data
+        if data is None or int(data.shape[0]) < need:
+            lp = int(dseq.data.shape[0])
+            if lp >= need:
+                data = dseq.data
+            else:
+                data = jnp.concatenate(
+                    [
+                        dseq.data,
+                        jnp.full(
+                            (need - lp,),
+                            self.pssms[0].alphabet.default_index,
+                            jnp.int8,
+                        ),
+                    ]
+                )
+            self._scan_data = data
+
+        dm_dev = jnp.asarray(self.dm_stack)
+        pssm_dev = jnp.asarray(self.pssm_stack)
+        len_dev = jnp.asarray(self.lengths)
+        ts_dev = jnp.asarray(self.t_scaled)
+        th_dev = jnp.asarray(self.thresholds)
+
+        out_pos, out_mot, out_sc = [], [], []
+        off = 0
+        while off < n_total:
+            n_here = np.clip(n_valid - off, 0, seg).astype(np.int32)
+            cap = self.capacity
+            dense = False
+            while True:
+                counts, packed = multi.scan_multi_segment(
+                    data,
+                    np.int32(off),
+                    jnp.asarray(n_here),
+                    dm_dev,
+                    pssm_dev,
+                    len_dev,
+                    ts_dev,
+                    th_dev,
+                    chunk_len,
+                    cap,
+                    dense,
+                )
+                count, n_kept = (int(v) for v in jax.device_get(counts))
+                if count <= cap:
+                    break
+                dense = True
+                cap = max(self.capacity, 1 << (count - 1).bit_length())
+            self.capacity = cap
+            if n_kept:
+                arr = np.asarray(jax.device_get(packed[:, :n_kept]))
+                out_pos.append(arr[0] + off)
+                out_mot.append(arr[1])
+                out_sc.append(arr[2].view(np.float32))
+            off += seg
+
+        if not out_pos:
+            return []
+        positions = np.concatenate(out_pos)
+        motif_ids = np.concatenate(out_mot)
+        scores = np.concatenate(out_sc)
+        order = np.lexsort((positions, motif_ids))
         return [
             MultiHit(int(motif_ids[i]), int(positions[i]), float(scores[i]))
             for i in order
