@@ -15,9 +15,10 @@ random genome of identical length is synthesized; throughput is
 sequence-content independent (the kernel does identical work per
 position).
 
-Timing uses queued dispatch (N launches, one final synchronization):
-the TPU in this environment is reached through a tunnel whose per-call
-round-trip latency (~30 ms) would otherwise dominate the measurement.
+Timing uses in-jit repetition slopes with a wide rep span: the TPU in
+this environment is reached through a tunnel whose ~30 ms round-trip
+jitter would otherwise drown the per-scan time (the span must put
+>=10 ms of real device work between the two rep counts).
 
 Prints exactly one JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -49,7 +50,7 @@ def build_inputs():
     return pssm, seq
 
 
-def bench_slope(fn_carry, args, probe, r_lo=1, r_hi=51, trials=3):
+def bench_slope(fn_carry, args, probe, r_lo=8, r_hi=128, trials=5):
     """Per-iteration device time via in-jit repetition slopes.
 
     See ``tools/perf.py``: the remote-TPU tunnel neither synchronizes on
