@@ -80,9 +80,11 @@ def shard_sequence(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "n_scores", "cap", "mesh_holder")
+    jax.jit,
+    static_argnames=("chunk", "n_scores", "cap", "mesh_holder", "dense"),
 )
-def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk, n_scores, cap, mesh_holder):
+def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk,
+                       n_scores, cap, mesh_holder, dense=False):
     mesh = mesh_holder.mesh
 
     def local(shard, dm, pssm, t_scaled, threshold):
@@ -93,23 +95,31 @@ def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk, n_scores, c
         dscores = xla_ops.score_u8(seq, dm, chunk)
         pos = jax.lax.broadcasted_iota(jnp.int32, dscores.shape, 0)
         dscores = jnp.where(pos < n_local, dscores, -1)
-        count, idx = xla_ops.threshold_positions(dscores, t_scaled, cap)
+        if dense:
+            mask = dscores >= t_scaled
+            count = jnp.sum(mask.astype(jnp.int32))
+            (idx,) = jnp.nonzero(mask, size=cap, fill_value=dscores.shape[0])
+            idx = idx.astype(jnp.int32)
+        else:
+            count, idx = xla_ops.threshold_positions(dscores, t_scaled, cap)
         fscores = xla_ops.rescore_positions(seq, pssm, idx)
         keep = (idx < n_local) & (fscores >= threshold)
-        gidx = jnp.where(keep, idx + d * chunk, -1)
-        # fixed-size per-shard buffers; host concatenates after gather
-        return (
-            count[None],
-            gidx[None, :],
-            fscores[None, :],
-            keep[None, :],
-        )
+        # front-compact accepted hits (transfer-frugal, like the
+        # single-chip scanner): host reads counts + n_kept live slots
+        n_kept = jnp.sum(keep.astype(jnp.int32))
+        order = jnp.argsort(jnp.where(keep, idx, jnp.int32(2**31 - 1)))
+        gidx = jnp.take(idx, order) + d * chunk
+        packed = jnp.stack([
+            gidx,
+            jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
+        ])
+        return jnp.stack([count, n_kept])[None], packed[None]
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P("genome"), P(), P(), P(), P()),
-        out_specs=(P("genome"), P("genome"), P("genome"), P("genome")),
+        out_specs=(P("genome"), P("genome")),
     )(shards, dm, pssm, t_scaled, threshold)
 
 
@@ -136,7 +146,13 @@ def sharded_scan(
     cap: int = 1 << 16,
 ):
     """Scan a genome across every device of the mesh; returns
-    ``(positions, scores)`` of accepted hits (host arrays)."""
+    ``(positions, scores)`` of accepted hits (host arrays).
+
+    The candidate compaction first runs the cheap hierarchical pass; if
+    any shard over-signals (candidates exceed ``cap`` or spread over
+    more segments than its internal capacity), the scan retries once
+    with the dense full-sort compaction sized from the exact count.
+    """
     mesh = mesh or make_genome_mesh()
     n_dev = mesh.devices.size
     m = pssm_data.shape[0]
@@ -145,27 +161,42 @@ def sharded_scan(
 
     sharding = NamedSharding(mesh, P("genome"))
     shards_dev = jax.device_put(shards, sharding)
-    counts, gidx, fscores, keep = _sharded_scan_impl(
-        shards_dev,
-        jnp.asarray(dm_data),
-        jnp.asarray(pssm_data.astype(np.float32)),
-        jnp.int32(t_scaled),
-        jnp.float32(threshold),
-        chunk,
-        n_scores,
-        cap,
-        _MeshHolder(mesh),
-    )
-    counts = np.asarray(counts)
-    if int(counts.max(initial=0)) > cap:
-        raise OverflowError(
-            f"hit buffer overflow ({int(counts.max())} > {cap}); retry with larger cap"
+    dm_dev = jnp.asarray(dm_data)
+    pssm_dev = jnp.asarray(pssm_data.astype(np.float32))
+    dense = False
+    while True:
+        counts, packed = _sharded_scan_impl(
+            shards_dev,
+            dm_dev,
+            pssm_dev,
+            jnp.int32(t_scaled),
+            jnp.float32(threshold),
+            chunk,
+            n_scores,
+            cap,
+            _MeshHolder(mesh),
+            dense,
         )
-    gidx = np.asarray(gidx).reshape(-1)
-    fscores = np.asarray(fscores).reshape(-1)
-    keep = np.asarray(keep).reshape(-1)
-    sel = keep.nonzero()[0]
-    return gidx[sel], fscores[sel]
+        counts = np.asarray(jax.device_get(counts))  # [n_dev, 2] -- tiny
+        worst = int(counts[:, 0].max(initial=0))
+        if worst <= cap:
+            break
+        if dense:
+            raise OverflowError(
+                f"hit buffer overflow ({worst} > {cap}) in dense pass"
+            )
+        dense = True
+        cap = max(cap, 1 << (worst - 1).bit_length())
+    parts_pos, parts_sc = [], []
+    for d in range(n_dev):
+        n_kept = int(counts[d, 1])
+        if n_kept:
+            arr = np.asarray(jax.device_get(packed[d, :, :n_kept]))
+            parts_pos.append(arr[0])
+            parts_sc.append(arr[1].view(np.float32))
+    if not parts_pos:
+        return np.zeros(0, np.int32), np.zeros(0, np.float32)
+    return np.concatenate(parts_pos), np.concatenate(parts_sc)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "n_scores", "mesh_holder"))
