@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--protein", action="store_true", help="protein alphabet")
     parser.add_argument("--mesh", action="store_true",
                         help="shard each scan across all devices")
+    parser.add_argument("-j", "--jobs", type=int, default=None,
+                        help="accepted for reference-CLI compatibility; "
+                        "the device scan is already parallel (use --mesh "
+                        "for multi-chip)")
     parser.add_argument("--block-size", type=int, default=None,
                         help="positions per device dispatch")
     parser.add_argument("-q", "--quiet", action="store_true")
