@@ -136,6 +136,80 @@ def scan_multi_block(seq, dms, pssms, lengths, n_valid, t_scaled, thresholds,
     return count, positions, motif_ids, fscores, keep
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "chunk_len", "cap", "dense", "m_max", "k"))
+def scan_multi_segment_fused(seq, off, n_valid_here, filters, pssms,
+                             t_eff, thresholds, chunk_len: int, cap: int,
+                             m_max: int, k: int, dense: bool = False):
+    """Fused-prefilter variant of :func:`scan_multi_segment`.
+
+    Uses the Pallas MXU prefilter (:mod:`.multi_kernel`): packed hit
+    bits instead of a ``[C, M]`` score matrix, then two sparse
+    compactions (candidate positions, then (position, motif) pairs)
+    and the exact f32 rescore.  Same return convention.
+    """
+    from . import multi_kernel, xla_ops
+
+    mcount = pssms.shape[0]
+    n_words = filters.shape[1] // multi_kernel.BITS_PER_WORD
+    chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
+    bits = multi_kernel.prefilter_bits(
+        chunk, filters, t_eff, n_valid_here, m_max, k)  # [C, W] i32
+
+    pairs_total = jnp.sum(jax.lax.population_count(bits))
+    any_mask = jnp.sum(bits, axis=1) != 0  # words are non-negative
+    if dense:
+        pos_count = jnp.sum(any_mask.astype(jnp.int32))
+        (pos_idx,) = jnp.nonzero(any_mask, size=cap,
+                                 fill_value=any_mask.shape[0])
+        pos_idx = pos_idx.astype(jnp.int32)
+        pos_valid = jnp.bool_(True)
+    else:
+        pos_count, pos_idx, pos_valid = xla_ops.compact_mask(any_mask, cap)
+
+    safe_pos = jnp.minimum(pos_idx, chunk_len - 1)
+    words = bits[safe_pos]  # [cap, W]
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+    bools = ((words[:, :, None] >> shifts) & 1).astype(jnp.bool_)
+    bools = bools.reshape(cap, n_words * 16)
+    bools = bools & (pos_idx < chunk_len)[:, None]
+    flat = bools.reshape(-1)
+    if dense:
+        pair_count = jnp.sum(flat.astype(jnp.int32))
+        (pair_idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
+        pair_idx = pair_idx.astype(jnp.int32)
+        pair_valid = jnp.bool_(True)
+    else:
+        pair_count, pair_idx, pair_valid = xla_ops.compact_mask(flat, cap)
+        pair_idx = jnp.minimum(pair_idx, flat.shape[0])
+
+    m_per_row = n_words * 16
+    rows = jnp.minimum(pair_idx // m_per_row, cap - 1)
+    positions = pos_idx[rows]
+    motif_ids = jnp.minimum(pair_idx % m_per_row, mcount - 1)
+
+    fscores = rescore_multi(chunk, pssms, positions, motif_ids)
+    keep = (
+        (pair_idx < flat.shape[0])
+        & (positions < n_valid_here[0, motif_ids])
+        & (fscores >= thresholds[motif_ids])
+    )
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    # sort kept hits by (position, motif): pair_idx is already
+    # (ascending position, motif) -- both compaction paths emit
+    # ascending indices -- and stays well inside int32
+    key = jnp.where(keep, pair_idx, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    packed = jnp.stack([
+        jnp.take(positions, order),
+        jnp.take(motif_ids, order),
+        jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
+    ])
+    count = jnp.maximum(pos_count, jnp.maximum(pairs_total, pair_count))
+    valid = (pos_valid & pair_valid).astype(jnp.int32)
+    return jnp.stack([count, n_kept, valid]), packed
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_len", "cap", "dense"))
 def scan_multi_segment(seq, off, n_valid_here, dms, pssms, lengths,
                        t_scaled, thresholds, chunk_len: int, cap: int,
@@ -159,8 +233,9 @@ def scan_multi_segment(seq, off, n_valid_here, dms, pssms, lengths,
         count = jnp.sum(mask.astype(jnp.int32))
         (idx,) = jnp.nonzero(mask, size=cap, fill_value=mask.shape[0])
         idx = idx.astype(jnp.int32)
+        valid = jnp.bool_(True)
     else:
-        count, idx = xla_ops.compact_mask(mask, cap)
+        count, idx, valid = xla_ops.compact_mask(mask, cap)
     mcount = dms.shape[0]
     positions = (idx // mcount).astype(jnp.int32)
     motif_ids = (idx % mcount).astype(jnp.int32)
@@ -178,4 +253,4 @@ def scan_multi_segment(seq, off, n_valid_here, dms, pssms, lengths,
         jnp.take(motif_ids, order),
         jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
     ])
-    return jnp.stack([count, n_kept]), packed
+    return jnp.stack([count, n_kept, valid.astype(jnp.int32)]), packed

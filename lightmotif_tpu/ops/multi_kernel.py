@@ -1,0 +1,170 @@
+"""Pallas-fused multi-motif prefilter (MXU).
+
+The XLA multi-motif path (:mod:`lightmotif_tpu.ops.multi`) materializes
+the im2col window matrix ``X[p, j*K+k]`` and the full ``[L, M]`` int32
+score matrix in HBM, which caps it near 110 Gpos*motif/s.  This kernel
+fuses the whole prefilter:
+
+* the one-hot window matrix is built **in VMEM** per position tile
+  (sublane-shifted copies of the one-hot sequence tile, the in-register
+  analogue of the reference CLI's per-motif rescans);
+* one bf16 MXU matmul scores the tile against every motif at once --
+  exact, because one-hot 0/1 and u8 matrix integers are exactly
+  representable in bf16 and every partial sum is an integer < 2^24 in
+  the f32 accumulator (integer sums are order-independent, unlike the
+  f32 scoring path);
+* the per-motif threshold comparison and a halfword bit-pack (a second
+  tiny matmul against a power-of-two matrix, exact: sums of distinct
+  powers of two <= 65535) happen before anything leaves VMEM.
+
+Output is a ``[L, M/16]`` int32 bit matrix -- 32x less HBM traffic than
+int32 scores -- from which candidates are extracted sparsely.
+
+Saturation semantics: raw integer sums are compared against the scaled
+threshold *unclamped*; for thresholds <= 255 this is equivalent to the
+reference's saturating-u8 comparison (min(raw,255) >= t <=> raw >= t),
+and thresholds > 255 are mapped to +inf on the host (no u8 score can
+pass, ``pwm/mod.rs:781-784``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["prefilter_bits", "supports_fused", "BITS_PER_WORD", "TILE"]
+
+#: Motifs per packed output word (halfword packing keeps the bit-pack
+#: matmul exact in f32).
+BITS_PER_WORD = 16
+
+#: Positions per grid tile.
+TILE = 2048
+
+#: Contraction size (one MXU pass).
+MAX_MK = 128
+
+#: Lanes per motif row in the window layout (lane ``l`` holds
+#: ``(j, s) = (l // 8, l % 8)``; 8-lane groups keep every construction
+#: step vreg-aligned -- lane-granular concats crash this Mosaic build).
+LANES_PER_ROW = 8
+
+#: Maximum motif length of the fused path (128 lanes / 8 per row).
+MAX_M_ROWS = MAX_MK // LANES_PER_ROW
+
+
+def supports_fused(m_max: int, k: int, n_motifs: int) -> bool:
+    if m_max > MAX_M_ROWS or m_max < 2 or k > LANES_PER_ROW:
+        return False
+    from . import kernels
+
+    if kernels.INTERPRET:
+        return True
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def _prefilter_kernel(filt_ref, tsc_ref, nval_ref, pow_ref, b0_ref, b1_ref,
+                      out_ref, *, m_max, k, tile, grid, n_words):
+    i = pl.program_id(0)
+    w = m_max - 1
+
+    s0 = b0_ref[:].astype(jnp.int32)          # [tile, 1]
+    halo = b1_ref[:w, :].astype(jnp.int32)    # next tile's head
+    seq = jnp.concatenate([s0, halo], axis=0)  # [tile + w, 1]
+
+    # windowed one-hot X[t, j*8 + s] = (seq[t + j] == s), built from
+    # vreg-aligned ops only: broadcast the sequence column across all
+    # lanes, then compose the per-lane-group sublane shift j = lane//8
+    # from its binary digits (log2 passes; lane-granular concats and
+    # strided rolls crash this Mosaic build).
+    rows = tile + w
+    base = jnp.broadcast_to(seq, (rows, MAX_MK))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, MAX_MK), 1)
+    group = lane // LANES_PER_ROW
+    seqw = base
+    bit = 1
+    while bit < m_max:
+        seqw = jnp.where((group & bit) != 0,
+                         pltpu.roll(seqw, rows - bit, 0), seqw)
+        bit <<= 1
+    seqw = seqw[:tile]
+    smap = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1) % \
+        LANES_PER_ROW
+    x = (seqw == smap).astype(jnp.bfloat16)    # [tile, 128]
+
+    # all motifs in one MXU pass; integer-exact accumulation
+    scores = jnp.dot(
+        x, filt_ref[:], preferred_element_type=jnp.float32
+    )  # [tile, M]
+
+    # per-motif threshold + validity window
+    pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + i * tile
+    mask = (scores >= tsc_ref[:]) & (pos < nval_ref[:])
+
+    # halfword bit-pack: one [tile, M] @ [M, n_words] matmul against
+    # the power-of-two selector (exact: sums of distinct 2^b <= 65535)
+    bits = jnp.dot(
+        mask.astype(jnp.bfloat16), pow_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = bits.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
+def prefilter_bits(seq, filters, t_scaled, n_valid, m_max: int, k: int,
+                   tile: int = TILE):
+    """Packed hit bits of every motif at every position.
+
+    ``seq``: int8 ``[Lp]`` with ``Lp`` a multiple of ``tile`` (wildcard
+    padded); ``filters``: f32/bf16 ``[MAX_MK, M]`` zero-padded stacked
+    discrete matrices (``filters[j*8 + s, mo] = dm[mo][j, s]``), ``M`` a
+    multiple of 16; ``t_scaled``: f32 ``[1, M]`` scaled thresholds
+    (+inf where the motif can never pass); ``n_valid``: int32 ``[1, M]``
+    valid window starts per motif.
+
+    Returns int32 ``[Lp, M // 16]``: bit ``b`` of word ``g`` at row
+    ``p`` set iff motif ``g*16 + b`` is a discrete candidate at ``p``.
+    """
+    from . import kernels
+
+    lp = seq.shape[0]
+    n_motifs = filters.shape[1]
+    assert lp % tile == 0 and n_motifs % BITS_PER_WORD == 0
+    grid = lp // tile
+    n_words = n_motifs // BITS_PER_WORD
+
+    # power-of-two bit-pack selector (block-diagonal halfword powers)
+    powers = np.zeros((n_motifs, n_words), np.float32)
+    for mo in range(n_motifs):
+        powers[mo, mo // BITS_PER_WORD] = float(1 << (mo % BITS_PER_WORD))
+
+    view = seq.reshape(lp, 1)
+    kernel = functools.partial(
+        _prefilter_kernel, m_max=m_max, k=k, tile=tile, grid=grid,
+        n_words=n_words)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # filters [128, M]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # t_scaled [1, M]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # n_valid [1, M]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # powers [M, n_words]
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: ((i + 1) % grid, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, n_words), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lp, n_words), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=kernels.INTERPRET,
+    )(filters.astype(jnp.bfloat16), t_scaled, n_valid,
+      jnp.asarray(powers, jnp.bfloat16), view, view)

@@ -152,7 +152,7 @@ _SEG = 512
 def threshold_positions(scores: jax.Array, threshold, cap: int):
     """Fixed-capacity compaction of ``scores >= threshold``.
 
-    Returns ``(count, indices[cap])``; see :func:`compact_mask`.
+    Returns ``(count, indices[cap], valid)``; see :func:`compact_mask`.
     """
     return compact_mask(scores >= threshold, cap)
 
@@ -160,18 +160,19 @@ def threshold_positions(scores: jax.Array, threshold, cap: int):
 def compact_mask(mask: jax.Array, cap: int):
     """Fixed-capacity compaction of the set indices of a boolean mask.
 
-    Returns ``(count, indices[cap])`` where unused slots are filled with
-    an out-of-range sentinel.  If ``count > cap`` the caller must retry
-    with a larger capacity.
+    Returns ``(count, indices[cap], valid)``: ``count`` is the exact
+    number of set bits; unused index slots hold an out-of-range
+    sentinel; ``valid`` is False when the indices are incomplete
+    because the set bits spread over more segments than the internal
+    capacity (the caller should then retry with the ``dense`` full-sort
+    path at the *same* exact-count-sized capacity -- never a blind
+    doubling ladder).  ``count > cap`` also requires a retry.
 
     ``jnp.nonzero`` lowers to a full-length sort on TPU (~50 ms on a
     genome); instead the compaction is hierarchical: per-segment
     candidate counts (one cheap reduction), a tiny sort over the segment
     indices, a gather of only the active segments, and a small sort to
-    extract positions.  Sound for any density: if the candidates (or the
-    active segments) exceed capacity, the returned ``count`` exceeds
-    ``cap`` and the caller's retry kicks in (a single ``dense``
-    ``jnp.nonzero`` pass sized from the exact count).
+    extract positions.
     """
     orig_n = mask.shape[0]
     n = orig_n
@@ -201,9 +202,7 @@ def compact_mask(mask: jax.Array, cap: int):
         [(base[:, None] + offs).reshape(-1), jnp.array([orig_n], jnp.int32)]
     )
     idx = allpos[jnp.minimum(li, lmask.shape[0])]
-    # overflow signal: either raw candidate overflow or segment overflow
-    count = jnp.where(n_active > seg_cap, count + jnp.int32(cap + 1), count)
-    return count, idx.astype(jnp.int32)
+    return count, idx.astype(jnp.int32), n_active <= seg_cap
 
 
 def rescore_positions(seq: jax.Array, pssm: jax.Array, positions: jax.Array):
@@ -249,7 +248,8 @@ def scan_block(seq, dm, pssm, t_scaled, threshold, n_scores: int, cap: int):
     from . import kernels  # Pallas on TPU, XLA fallback elsewhere
 
     dscores = kernels.score_u8(seq, dm, n_scores)
-    count, idx = threshold_positions(dscores, t_scaled, cap)
+    count, idx, valid = threshold_positions(dscores, t_scaled, cap)
+    count = jnp.where(valid, count, count + jnp.int32(cap + 1))
     fscores = rescore_positions(seq, pssm, idx)
     keep = (idx < n_scores) & (fscores >= threshold)
     return count, idx, fscores, keep
@@ -270,15 +270,16 @@ def scan_segment(seq, off, n_here, dm, pssm, t_scaled, threshold,
 
     ``off`` and ``n_here`` are dynamic (no recompile per segment);
     ``seq`` must be padded so ``off + chunk_len <= len(seq)`` for every
-    segment.  Returns ``(counts[2] = [discrete_candidates, n_kept],
+    segment.  Returns ``(counts[3] = [exact_candidates, n_kept, valid],
     positions[cap], scores[cap])`` with accepted hits front-compacted in
     ascending position order.
 
     ``dense=False`` uses the cheap hierarchical compaction (best when
-    candidates are sparse); it over-signals ``count`` when candidates
-    spread over more segments than its internal capacity, in which case
-    the caller should retry once with ``dense=True`` (full-length
-    ``nonzero``; one sort, exact for any density).
+    candidates are sparse); ``valid == 0`` in the result means the
+    candidates spread over more segments than its internal capacity and
+    the caller must retry once with ``dense=True`` (full-length
+    ``nonzero``; one sort, exact for any density) at a capacity sized
+    from the *exact* candidate count.
     """
     from . import kernels
 
@@ -291,8 +292,9 @@ def scan_segment(seq, off, n_here, dm, pssm, t_scaled, threshold,
         count = jnp.sum(mask.astype(jnp.int32))
         (idx,) = jnp.nonzero(mask, size=cap, fill_value=dscores.shape[0])
         idx = idx.astype(jnp.int32)
+        valid = jnp.bool_(True)
     else:
-        count, idx = threshold_positions(dscores, t_scaled, cap)
+        count, idx, valid = threshold_positions(dscores, t_scaled, cap)
     fscores = rescore_positions(chunk, pssm, idx)
     keep = (idx < n_here) & (fscores >= threshold)
     # front-compact accepted hits; threshold_positions returns unsorted
@@ -306,4 +308,4 @@ def scan_segment(seq, off, n_here, dm, pssm, t_scaled, threshold,
     packed = jnp.stack(
         [positions, jax.lax.bitcast_convert_type(scores, jnp.int32)]
     )
-    return jnp.stack([count, n_kept]), packed
+    return jnp.stack([count, n_kept, valid.astype(jnp.int32)]), packed

@@ -100,8 +100,10 @@ def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk,
             count = jnp.sum(mask.astype(jnp.int32))
             (idx,) = jnp.nonzero(mask, size=cap, fill_value=dscores.shape[0])
             idx = idx.astype(jnp.int32)
+            valid = jnp.bool_(True)
         else:
-            count, idx = xla_ops.threshold_positions(dscores, t_scaled, cap)
+            count, idx, valid = xla_ops.threshold_positions(
+                dscores, t_scaled, cap)
         fscores = xla_ops.rescore_positions(seq, pssm, idx)
         keep = (idx < n_local) & (fscores >= threshold)
         # front-compact accepted hits (transfer-frugal, like the
@@ -113,7 +115,10 @@ def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk,
             gidx,
             jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
         ])
-        return jnp.stack([count, n_kept])[None], packed[None]
+        return (
+            jnp.stack([count, n_kept, valid.astype(jnp.int32)])[None],
+            packed[None],
+        )
 
     return shard_map(
         local,
@@ -177,16 +182,18 @@ def sharded_scan(
             _MeshHolder(mesh),
             dense,
         )
-        counts = np.asarray(jax.device_get(counts))  # [n_dev, 2] -- tiny
+        counts = np.asarray(jax.device_get(counts))  # [n_dev, 3] -- tiny
         worst = int(counts[:, 0].max(initial=0))
-        if worst <= cap:
+        all_valid = bool(counts[:, 2].min(initial=1))
+        if worst <= cap and all_valid:
             break
         if dense:
             raise OverflowError(
                 f"hit buffer overflow ({worst} > {cap}) in dense pass"
             )
         dense = True
-        cap = max(cap, 1 << (worst - 1).bit_length())
+        if worst > cap:
+            cap = max(cap, 1 << (worst - 1).bit_length())
     parts_pos, parts_sc = [], []
     for d in range(n_dev):
         n_kept = int(counts[d, 1])

@@ -88,6 +88,7 @@ class Scanner:
         self.capacity = int(capacity)
         self._dseq = _as_device_seq(seq)
         self._scan_data = None  # lazily-built scan buffer (halo-padded)
+        self._dense = False  # sticky dense-compaction mode
 
     # -- internals ----------------------------------------------------------
 
@@ -145,10 +146,10 @@ class Scanner:
             self._scan_data = data
 
         off = 0
+        dense = self._dense
         while off < n_total:
             n_here = min(seg, n_total - off)
             cap = self.capacity
-            dense = False
             while True:
                 counts, packed = xla_ops.scan_segment(
                     data,
@@ -162,15 +163,17 @@ class Scanner:
                     cap,
                     dense,
                 )
-                count, n_kept = (int(v) for v in jax.device_get(counts))
-                if count <= cap:
+                count, n_kept, valid = (int(v) for v in jax.device_get(counts))
+                if count <= cap and valid:
                     break
-                # one dense retry sized from the exact candidate count
-                # (the sparse path over-signals when candidates spread
-                # over many segments -- don't climb a doubling ladder)
+                # retry with the dense full-sort compaction, sized from
+                # the EXACT candidate count (never a doubling ladder);
+                # once a scan goes dense it stays dense (same threshold)
                 dense = True
-                cap = max(self.capacity, 1 << (count - 1).bit_length())
+                if count > cap:
+                    cap = max(cap, 1 << (count - 1).bit_length())
             self.capacity = cap
+            self._dense = dense
             if n_kept:
                 arr = np.asarray(jax.device_get(packed[:, :n_kept]))
                 positions = arr[0]
@@ -250,6 +253,7 @@ class MultiScanner:
         self.capacity = int(capacity)
         self._dseq = _as_device_seq(seq)
         self._scan_data = None
+        self._dense = False
 
     #: Cap on the ``[segment, n_motifs]`` discrete-score matrix (int32
     #: elements) so device memory stays bounded for big motif sets.
@@ -268,11 +272,19 @@ class MultiScanner:
         if n_total == 0:
             return []
 
+        from .ops import multi_kernel
+
         unit = xla_ops.PAD_MULTIPLE
         if m_max > unit:
             raise ValueError(f"motif longer than the halo unit ({unit})")
         mcount = len(self.pssms)
-        seg = max(unit, (self.MAX_SEGMENT_ELEMS // max(mcount, 1)) // unit * unit)
+        k = self.pssms[0].alphabet.size
+        fused = multi_kernel.supports_fused(m_max, k, mcount)
+        # the fused prefilter materializes [segment, M/16] bits; the
+        # windows path materializes [segment, M] i32 scores plus the
+        # [segment, m*K] one-hot -- budget segments accordingly
+        density = max(mcount, 1) // 16 + 1 if fused else max(mcount, 1)
+        seg = max(unit, (self.MAX_SEGMENT_ELEMS // density) // unit * unit)
         seg = min(seg, DEFAULT_SEGMENT, xla_ops.pad_length(n_total, unit))
         chunk_len = seg + unit
 
@@ -296,6 +308,22 @@ class MultiScanner:
                 )
             self._scan_data = data
 
+        if fused:
+            # stacked filters [128, M_pad] + effective thresholds
+            m_pad = -(-mcount // multi_kernel.BITS_PER_WORD) * \
+                multi_kernel.BITS_PER_WORD
+            filters = np.zeros((multi_kernel.MAX_MK, m_pad), np.float32)
+            for j in range(m_max):
+                filters[j * multi_kernel.LANES_PER_ROW:
+                        j * multi_kernel.LANES_PER_ROW + k, :mcount] = (
+                    self.dm_stack[:, j, :].T
+                )
+            t_eff = np.full((1, m_pad), np.inf, np.float32)
+            t_eff[0, :mcount] = np.where(
+                self.t_scaled > 255, np.inf, self.t_scaled
+            ).astype(np.float32)
+            filt_dev = jnp.asarray(filters)
+            te_dev = jnp.asarray(t_eff)
         dm_dev = jnp.asarray(self.dm_stack)
         pssm_dev = jnp.asarray(self.pssm_stack)
         len_dev = jnp.asarray(self.lengths)
@@ -304,30 +332,51 @@ class MultiScanner:
 
         out_pos, out_mot, out_sc = [], [], []
         off = 0
+        dense = self._dense
         while off < n_total:
             n_here = np.clip(n_valid - off, 0, seg).astype(np.int32)
             cap = self.capacity
-            dense = False
             while True:
-                counts, packed = multi.scan_multi_segment(
-                    data,
-                    np.int32(off),
-                    jnp.asarray(n_here),
-                    dm_dev,
-                    pssm_dev,
-                    len_dev,
-                    ts_dev,
-                    th_dev,
-                    chunk_len,
-                    cap,
-                    dense,
-                )
-                count, n_kept = (int(v) for v in jax.device_get(counts))
-                if count <= cap:
+                if fused:
+                    n_here2d = np.zeros(
+                        (1, filt_dev.shape[1]), np.int32)
+                    n_here2d[0, :mcount] = n_here
+                    counts, packed = multi.scan_multi_segment_fused(
+                        data,
+                        np.int32(off),
+                        jnp.asarray(n_here2d),
+                        filt_dev,
+                        pssm_dev,
+                        te_dev,
+                        th_dev,
+                        chunk_len,
+                        cap,
+                        m_max,
+                        k,
+                        dense,
+                    )
+                else:
+                    counts, packed = multi.scan_multi_segment(
+                        data,
+                        np.int32(off),
+                        jnp.asarray(n_here),
+                        dm_dev,
+                        pssm_dev,
+                        len_dev,
+                        ts_dev,
+                        th_dev,
+                        chunk_len,
+                        cap,
+                        dense,
+                    )
+                count, n_kept, valid = (int(v) for v in jax.device_get(counts))
+                if count <= cap and valid:
                     break
                 dense = True
-                cap = max(self.capacity, 1 << (count - 1).bit_length())
+                if count > cap:
+                    cap = max(cap, 1 << (count - 1).bit_length())
             self.capacity = cap
+            self._dense = dense
             if n_kept:
                 arr = np.asarray(jax.device_get(packed[:, :n_kept]))
                 out_pos.append(arr[0] + off)

@@ -63,3 +63,23 @@ def test_multi_capacity_retry(genome):
     small = MultiScanner(motifs, genome, -12.0, capacity=8).collect()
     big = MultiScanner(motifs, genome, -12.0).collect()
     assert len(small) == len(big)
+
+
+def test_multi_fused_prefilter_parity(genome):
+    """Pallas fused prefilter (interpret mode) == XLA windows path."""
+    from lightmotif_tpu.ops import kernels, multi_kernel
+
+    motifs = make_motifs()
+    assert multi_kernel.supports_fused(
+        max(len(p) for p in motifs), 5, len(motifs)) in (True, False)
+    kernels.INTERPRET = True
+    try:
+        assert multi_kernel.supports_fused(
+            max(len(p) for p in motifs), 5, len(motifs))
+        fused = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0]).collect()
+    finally:
+        kernels.INTERPRET = False
+    windows = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0]).collect()
+    a = [(h.motif, h.position, h.score) for h in fused]
+    b = [(h.motif, h.position, h.score) for h in windows]
+    assert a == b
