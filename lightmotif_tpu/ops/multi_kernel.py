@@ -54,8 +54,12 @@ MAX_MK = 128
 #: step vreg-aligned -- lane-granular concats crash this Mosaic build).
 LANES_PER_ROW = 8
 
-#: Maximum motif length of the fused path (128 lanes / 8 per row).
-MAX_M_ROWS = MAX_MK // LANES_PER_ROW
+#: Motif rows per contraction block (128 lanes / 8 per row).
+ROWS_PER_BLOCK = MAX_MK // LANES_PER_ROW
+
+#: Maximum motif length of the fused path (contraction blocks are
+#: summed -- exact for integer data, order-free).
+MAX_M_ROWS = 2 * ROWS_PER_BLOCK
 
 
 def supports_fused(m_max: int, k: int, n_motifs: int) -> bool:
@@ -81,26 +85,33 @@ def _prefilter_kernel(filt_ref, tsc_ref, nval_ref, pow_ref, b0_ref, b1_ref,
     # vreg-aligned ops only: broadcast the sequence column across all
     # lanes, then compose the per-lane-group sublane shift j = lane//8
     # from its binary digits (log2 passes; lane-granular concats and
-    # strided rolls crash this Mosaic build).
+    # strided rolls crash this Mosaic build).  Motifs longer than 16
+    # rows use extra contraction blocks shifted 16 further each --
+    # summed matmuls stay exact (integer data, order-free).
     rows = tile + w
     base = jnp.broadcast_to(seq, (rows, MAX_MK))
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, MAX_MK), 1)
     group = lane // LANES_PER_ROW
-    seqw = base
-    bit = 1
-    while bit < m_max:
-        seqw = jnp.where((group & bit) != 0,
-                         pltpu.roll(seqw, rows - bit, 0), seqw)
-        bit <<= 1
-    seqw = seqw[:tile]
     smap = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1) % \
         LANES_PER_ROW
-    x = (seqw == smap).astype(jnp.bfloat16)    # [tile, 128]
-
-    # all motifs in one MXU pass; integer-exact accumulation
-    scores = jnp.dot(
-        x, filt_ref[:], preferred_element_type=jnp.float32
-    )  # [tile, M]
+    n_blocks = -(-m_max // ROWS_PER_BLOCK)
+    scores = None
+    for b in range(n_blocks):
+        block_base = base if b == 0 else pltpu.roll(
+            base, rows - b * ROWS_PER_BLOCK, 0)
+        rows_here = min(m_max - b * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
+        seqw = block_base
+        bit = 1
+        while bit < rows_here:
+            seqw = jnp.where((group & bit) != 0,
+                             pltpu.roll(seqw, rows - bit, 0), seqw)
+            bit <<= 1
+        x = (seqw[:tile] == smap).astype(jnp.bfloat16)  # [tile, 128]
+        part = jnp.dot(
+            x, filt_ref[b * MAX_MK:(b + 1) * MAX_MK, :],
+            preferred_element_type=jnp.float32,
+        )  # [tile, M]
+        scores = part if scores is None else scores + part
 
     # per-motif threshold + validity window
     pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + i * tile
@@ -121,9 +132,10 @@ def prefilter_bits(seq, filters, t_scaled, n_valid, m_max: int, k: int,
     """Packed hit bits of every motif at every position.
 
     ``seq``: int8 ``[Lp]`` with ``Lp`` a multiple of ``tile`` (wildcard
-    padded); ``filters``: f32/bf16 ``[MAX_MK, M]`` zero-padded stacked
-    discrete matrices (``filters[j*8 + s, mo] = dm[mo][j, s]``), ``M`` a
-    multiple of 16; ``t_scaled``: f32 ``[1, M]`` scaled thresholds
+    padded); ``filters``: f32/bf16 ``[n_blocks*128, M]`` zero-padded
+    stacked discrete matrices
+    (``filters[(j//16)*128 + (j%16)*8 + s, mo] = dm[mo][j, s]``),
+    ``M`` a multiple of 16; ``t_scaled``: f32 ``[1, M]`` scaled thresholds
     (+inf where the motif can never pass); ``n_valid``: int32 ``[1, M]``
     valid window starts per motif.
 
@@ -135,6 +147,7 @@ def prefilter_bits(seq, filters, t_scaled, n_valid, m_max: int, k: int,
     lp = seq.shape[0]
     n_motifs = filters.shape[1]
     assert lp % tile == 0 and n_motifs % BITS_PER_WORD == 0
+    assert filters.shape[0] == -(-m_max // ROWS_PER_BLOCK) * MAX_MK
     grid = lp // tile
     n_words = n_motifs // BITS_PER_WORD
 

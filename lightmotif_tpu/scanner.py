@@ -312,12 +312,14 @@ class MultiScanner:
             # stacked filters [128, M_pad] + effective thresholds
             m_pad = -(-mcount // multi_kernel.BITS_PER_WORD) * \
                 multi_kernel.BITS_PER_WORD
-            filters = np.zeros((multi_kernel.MAX_MK, m_pad), np.float32)
+            n_blocks = -(-m_max // multi_kernel.ROWS_PER_BLOCK)
+            filters = np.zeros(
+                (n_blocks * multi_kernel.MAX_MK, m_pad), np.float32)
             for j in range(m_max):
-                filters[j * multi_kernel.LANES_PER_ROW:
-                        j * multi_kernel.LANES_PER_ROW + k, :mcount] = (
-                    self.dm_stack[:, j, :].T
-                )
+                r = ((j // multi_kernel.ROWS_PER_BLOCK) * multi_kernel.MAX_MK
+                     + (j % multi_kernel.ROWS_PER_BLOCK)
+                     * multi_kernel.LANES_PER_ROW)
+                filters[r:r + k, :mcount] = self.dm_stack[:, j, :].T
             t_eff = np.full((1, m_pad), np.inf, np.float32)
             t_eff[0, :mcount] = np.where(
                 self.t_scaled > 255, np.inf, self.t_scaled

@@ -83,3 +83,32 @@ def test_multi_fused_prefilter_parity(genome):
     a = [(h.motif, h.position, h.score) for h in fused]
     b = [(h.motif, h.position, h.score) for h in windows]
     assert a == b
+
+
+def test_multi_fused_long_motifs(genome):
+    """2-contraction-block fused path (motif widths 17..32)."""
+    from lightmotif_tpu.ops import kernels
+
+    import numpy as np
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+
+    rng = np.random.default_rng(9)
+    motifs = []
+    for width in (6, 17, 25, 32):
+        sites = [
+            "".join("ACTG"[j] for j in rng.integers(0, 4, size=width))
+            for _ in range(4)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+
+    kernels.INTERPRET = True
+    try:
+        fused = MultiScanner(motifs, genome, -6.0).collect()
+    finally:
+        kernels.INTERPRET = False
+    windows = MultiScanner(motifs, genome, -6.0).collect()
+    assert [(h.motif, h.position, h.score) for h in fused] == [
+        (h.motif, h.position, h.score) for h in windows
+    ]
