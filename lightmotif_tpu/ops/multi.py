@@ -29,7 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["stack_motifs", "score_multi_u8", "rescore_multi", "scan_multi_block"]
+__all__ = [
+    "stack_motifs",
+    "score_multi_u8",
+    "rescore_multi",
+    "scan_multi_block",
+    "scan_multi_segment",
+    "scan_multi_segment_fused",
+    "scan_multi_core",
+]
 
 
 def stack_motifs(matrices, k: int):
@@ -148,11 +156,20 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters, pssms,
     compactions (candidate positions, then (position, motif) pairs)
     and the exact f32 rescore.  Same return convention.
     """
+    chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
+    return scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff,
+                           thresholds, cap, m_max, k, dense)
+
+
+def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
+                    cap: int, m_max: int, k: int, dense: bool):
+    """Fused multi-motif scan body on an in-register chunk (shared by
+    the single-chip segment loop and the mesh shard path)."""
     from . import multi_kernel, xla_ops
 
+    chunk_len = chunk.shape[0]
     mcount = pssms.shape[0]
     n_words = filters.shape[1] // multi_kernel.BITS_PER_WORD
-    chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     bits = multi_kernel.prefilter_bits(
         chunk, filters, t_eff, n_valid_here, m_max, k)  # [C, W] i32
 

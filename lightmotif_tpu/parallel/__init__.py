@@ -5,6 +5,7 @@ from .mesh import (
     make_genome_mesh,
     shard_sequence,
     sharded_argmax,
+    sharded_multi_scan,
     sharded_scan,
 )
 
@@ -14,4 +15,5 @@ __all__ = [
     "shard_sequence",
     "sharded_argmax",
     "sharded_scan",
+    "sharded_multi_scan",
 ]

@@ -39,6 +39,7 @@ __all__ = [
     "make_genome_mesh",
     "shard_sequence",
     "sharded_scan",
+    "sharded_multi_scan",
     "sharded_argmax",
     "ShardedScanner",
 ]
@@ -255,6 +256,141 @@ def sharded_argmax(
         _MeshHolder(mesh),
     )
     return float(np.asarray(gmax)[0]), int(np.asarray(garg)[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "cap", "m_max", "k", "mesh_holder", "dense"),
+)
+def _sharded_multi_impl(shards, filters, pssms, t_eff, thresholds, n_valid_g,
+                        chunk, cap, m_max, k, mesh_holder, dense=False):
+    from ..ops import multi
+
+    mesh = mesh_holder.mesh
+
+    def local(shard, filters, pssms, t_eff, thresholds, n_valid_g):
+        d = jax.lax.axis_index("genome")
+        seq = shard[0]
+        nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
+        counts, packed = multi.scan_multi_core(
+            seq, nv, filters, pssms, t_eff, thresholds, cap, m_max, k,
+            dense)
+        packed = packed.at[0].add(d * chunk)
+        return counts[None], packed[None]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("genome"), P(), P(), P(), P(), P()),
+        out_specs=(P("genome"), P("genome")),
+        check_vma=False,  # pallas_call output has no vma annotation
+    )(shards, filters, pssms, t_eff, thresholds, n_valid_g)
+
+
+def sharded_multi_scan(
+    pssms,
+    encoded: np.ndarray,
+    thresholds,
+    mesh: Mesh | None = None,
+    cap: int = 1 << 16,
+):
+    """Scan many PSSMs over a genome sharded across the device mesh.
+
+    Every device runs the fused MXU prefilter on its genome shard with
+    the full motif set replicated; accepted hits are front-compacted
+    per shard and merged on the host.  Returns a list of
+    :class:`lightmotif_tpu.scanner.MultiHit`.
+    """
+    from ..ops import multi, multi_kernel
+    from ..scanner import MultiHit
+
+    pssms = list(pssms)
+    mcount = len(pssms)
+    k = pssms[0].alphabet.size
+    dms = [p.to_discrete() for p in pssms]
+    pssm_stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in pssms], k)
+    m_max = int(lengths.max())
+    if not multi_kernel.supports_fused(m_max, k, mcount):
+        raise ValueError(
+            "sharded multi-scan requires the fused prefilter "
+            f"(m <= {multi_kernel.MAX_M_ROWS}, K <= "
+            f"{multi_kernel.LANES_PER_ROW})")
+    if np.isscalar(thresholds):
+        thresholds = [float(thresholds)] * mcount
+    thresholds = np.asarray(thresholds, np.float32)
+    t_scaled = np.asarray(
+        [d.scale(t) for d, t in zip(dms, thresholds)], np.int32)
+
+    m_pad = -(-mcount // multi_kernel.BITS_PER_WORD) * \
+        multi_kernel.BITS_PER_WORD
+    n_blocks = -(-m_max // multi_kernel.ROWS_PER_BLOCK)
+    dm_stack, _ = multi.stack_motifs(
+        [d.data.astype(np.float32) for d in dms], k)
+    filters = np.zeros((n_blocks * multi_kernel.MAX_MK, m_pad), np.float32)
+    for j in range(m_max):
+        r = ((j // multi_kernel.ROWS_PER_BLOCK) * multi_kernel.MAX_MK
+             + (j % multi_kernel.ROWS_PER_BLOCK)
+             * multi_kernel.LANES_PER_ROW)
+        filters[r:r + k, :mcount] = dm_stack[:, j, :].T
+    t_eff = np.full((1, m_pad), np.inf, np.float32)
+    t_eff[0, :mcount] = np.where(t_scaled > 255, np.inf, t_scaled)
+
+    mesh = mesh or make_genome_mesh()
+    n_dev = mesh.devices.size
+    n = int(encoded.size)
+    # shard widths must tile the fused kernel geometry
+    unit = max(xla_ops.PAD_MULTIPLE, multi_kernel.TILE)
+    n_scores_max = max(n - int(lengths.min()) + 1, 0)
+    chunk = -(-max(n_scores_max, 1) // n_dev)
+    chunk = max(-(-chunk // unit) * unit, unit)
+    width = chunk + unit
+    wildcard = k - 1
+    shards = np.full((n_dev, width), wildcard, dtype=np.int8)
+    for d in range(n_dev):
+        start = d * chunk
+        stop = min(start + width, n)
+        if start < n:
+            shards[d, : stop - start] = encoded[start:stop]
+
+    n_valid_g = np.zeros((1, m_pad), np.int32)
+    n_valid_g[0, :mcount] = np.maximum(n - lengths + 1, 0)
+
+    sharding = NamedSharding(mesh, P("genome"))
+    shards_dev = jax.device_put(shards, sharding)
+    args = (
+        jnp.asarray(filters),
+        jnp.asarray(pssm_stack),
+        jnp.asarray(t_eff),
+        jnp.asarray(thresholds),
+        jnp.asarray(n_valid_g),
+    )
+    dense = False
+    while True:
+        counts, packed = _sharded_multi_impl(
+            shards_dev, *args, chunk, cap, m_max, k, _MeshHolder(mesh),
+            dense)
+        counts = np.asarray(jax.device_get(counts))  # [n_dev, 3]
+        worst = int(counts[:, 0].max(initial=0))
+        all_valid = bool(counts[:, 2].min(initial=1))
+        if worst <= cap and all_valid:
+            break
+        if dense:
+            raise OverflowError(f"hit buffer overflow ({worst} > {cap})")
+        dense = True
+        if worst > cap:
+            cap = max(cap, 1 << (worst - 1).bit_length())
+
+    hits = []
+    for d in range(n_dev):
+        n_kept = int(counts[d, 1])
+        if n_kept:
+            arr = np.asarray(jax.device_get(packed[d, :, :n_kept]))
+            for p, mo, sb in zip(arr[0], arr[1],
+                                 arr[2].view(np.float32)):
+                hits.append(MultiHit(int(mo), int(p), float(sb)))
+    hits.sort(key=lambda h: (h.motif, h.position))
+    return hits
 
 
 class ShardedScanner:

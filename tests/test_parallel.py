@@ -68,3 +68,36 @@ def test_sharded_scanner_max(pssm, genome):
     hit = ShardedScanner(pssm, genome, threshold=-12.0).max()
     host = pssm.score_host(genome)
     assert hit.score == pytest.approx(float(host.max()), abs=1e-5)
+
+
+def test_sharded_multi_scan_matches_single(genome_mesh=None):
+    import numpy as np
+
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel import make_genome_mesh, sharded_multi_scan
+    from lightmotif_tpu.scanner import MultiScanner
+
+    rng = np.random.default_rng(21)
+    motifs = []
+    for width in (8, 14, 20):
+        sites = [
+            "".join("ACTG"[j] for j in rng.integers(0, 4, size=width))
+            for _ in range(5)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    genome = rng.integers(0, 4, size=60_000, dtype=np.int8)
+    seq = EncodedSequence(genome.astype(np.uint8))
+
+    kernels.INTERPRET = True
+    try:
+        mesh = make_genome_mesh()
+        hits = sharded_multi_scan(motifs, genome, -6.0, mesh=mesh)
+        single = MultiScanner(motifs, seq, -6.0).collect()
+    finally:
+        kernels.INTERPRET = False
+    a = [(h.motif, h.position, h.score) for h in hits]
+    b = [(h.motif, h.position, h.score) for h in single]
+    assert a == b
