@@ -54,6 +54,9 @@ PAD_LANES = CHUNKS * BLOCK_LANES
 
 #: Set to True (e.g. in tests) to run kernels through the Pallas
 #: interpreter on CPU instead of falling back to the XLA ops.
+#: NOTE: the flag is captured at trace time -- after flipping it, call
+#: ``jax.clear_caches()`` (or use fresh shapes) so cached executables
+#: built with the other backend are not silently reused.
 INTERPRET = False
 
 

@@ -33,7 +33,6 @@ __all__ = [
     "stack_motifs",
     "score_multi_u8",
     "rescore_multi",
-    "scan_multi_block",
     "scan_multi_segment",
     "scan_multi_segment_fused",
     "scan_multi_core",
@@ -118,32 +117,6 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def scan_multi_block(seq, dms, pssms, lengths, n_valid, t_scaled, thresholds,
-                     cap: int):
-    """Fused multi-motif two-pass scan of one (padded) sequence.
-
-    Returns ``(count, positions[cap], motif_ids[cap], scores[cap],
-    keep[cap])``; ``count`` is the number of discrete candidates across
-    all motifs (overflow check).
-    """
-    dscores = score_multi_u8(seq, dms, lengths, n_valid)  # [Lp, M]
-    mask = dscores >= t_scaled[None, :]
-    count = jnp.sum(mask.astype(jnp.int32))
-    flat = mask.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
-    mcount = dms.shape[0]
-    positions = (idx // mcount).astype(jnp.int32)
-    motif_ids = (idx % mcount).astype(jnp.int32)
-    fscores = rescore_multi(seq, pssms, positions, motif_ids)
-    keep = (
-        (idx < flat.shape[0])
-        & (positions < n_valid[motif_ids])
-        & (fscores >= thresholds[motif_ids])
-    )
-    return count, positions, motif_ids, fscores, keep
-
-
 @functools.partial(jax.jit, static_argnames=(
     "chunk_len", "cap", "dense", "m_max", "k"))
 def scan_multi_segment_fused(seq, off, n_valid_here, filters, pssms,
@@ -175,14 +148,7 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
 
     pairs_total = jnp.sum(jax.lax.population_count(bits))
     any_mask = jnp.sum(bits, axis=1) != 0  # words are non-negative
-    if dense:
-        pos_count = jnp.sum(any_mask.astype(jnp.int32))
-        (pos_idx,) = jnp.nonzero(any_mask, size=cap,
-                                 fill_value=any_mask.shape[0])
-        pos_idx = pos_idx.astype(jnp.int32)
-        pos_valid = jnp.bool_(True)
-    else:
-        pos_count, pos_idx, pos_valid = xla_ops.compact_mask(any_mask, cap)
+    pos_count, pos_idx, pos_valid = xla_ops.compact_mask(any_mask, cap, dense)
 
     safe_pos = jnp.minimum(pos_idx, chunk_len - 1)
     words = bits[safe_pos]  # [cap, W]
@@ -191,14 +157,8 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
     bools = bools.reshape(cap, n_words * 16)
     bools = bools & (pos_idx < chunk_len)[:, None]
     flat = bools.reshape(-1)
-    if dense:
-        pair_count = jnp.sum(flat.astype(jnp.int32))
-        (pair_idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
-        pair_idx = pair_idx.astype(jnp.int32)
-        pair_valid = jnp.bool_(True)
-    else:
-        pair_count, pair_idx, pair_valid = xla_ops.compact_mask(flat, cap)
-        pair_idx = jnp.minimum(pair_idx, flat.shape[0])
+    pair_count, pair_idx, pair_valid = xla_ops.compact_mask(flat, cap, dense)
+    pair_idx = jnp.minimum(pair_idx, flat.shape[0])
 
     m_per_row = n_words * 16
     rows = jnp.minimum(pair_idx // m_per_row, cap - 1)
@@ -246,13 +206,7 @@ def scan_multi_segment(seq, off, n_valid_here, dms, pssms, lengths,
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     dscores = score_multi_u8(chunk, dms, lengths, n_valid_here)  # [C, M]
     mask = (dscores >= t_scaled[None, :]).reshape(-1)
-    if dense:
-        count = jnp.sum(mask.astype(jnp.int32))
-        (idx,) = jnp.nonzero(mask, size=cap, fill_value=mask.shape[0])
-        idx = idx.astype(jnp.int32)
-        valid = jnp.bool_(True)
-    else:
-        count, idx, valid = xla_ops.compact_mask(mask, cap)
+    count, idx, valid = xla_ops.compact_mask(mask, cap, dense)
     mcount = dms.shape[0]
     positions = (idx // mcount).astype(jnp.int32)
     motif_ids = (idx % mcount).astype(jnp.int32)

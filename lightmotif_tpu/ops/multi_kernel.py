@@ -62,6 +62,30 @@ ROWS_PER_BLOCK = MAX_MK // LANES_PER_ROW
 MAX_M_ROWS = 2 * ROWS_PER_BLOCK
 
 
+def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
+    """Host-side packing for :func:`prefilter_bits`.
+
+    ``dm_stack``: f32 ``[M, m_max, K]`` zero-padded discrete matrices;
+    ``t_scaled``: int ``[M]`` scaled thresholds.  Returns
+    ``(filters[n_blocks*128, m_pad], t_eff[1, m_pad])`` where padded
+    motif slots get ``+inf`` thresholds (never candidates) and
+    thresholds above the u8 range map to ``+inf`` (saturating
+    semantics, ``pwm/mod.rs:781-784``).
+    """
+    mcount, m_max, _ = dm_stack.shape
+    m_pad = -(-mcount // BITS_PER_WORD) * BITS_PER_WORD
+    n_blocks = -(-m_max // ROWS_PER_BLOCK)
+    filters = np.zeros((n_blocks * MAX_MK, m_pad), np.float32)
+    for j in range(m_max):
+        r = ((j // ROWS_PER_BLOCK) * MAX_MK
+             + (j % ROWS_PER_BLOCK) * LANES_PER_ROW)
+        filters[r:r + k, :mcount] = dm_stack[:, j, :].T
+    t_eff = np.full((1, m_pad), np.inf, np.float32)
+    t_eff[0, :mcount] = np.where(
+        np.asarray(t_scaled) > 255, np.inf, t_scaled).astype(np.float32)
+    return filters, t_eff
+
+
 def supports_fused(m_max: int, k: int, n_motifs: int) -> bool:
     if m_max > MAX_M_ROWS or m_max < 2 or k > LANES_PER_ROW:
         return False

@@ -40,7 +40,7 @@ __all__ = [
     "threshold_positions",
     "compact_mask",
     "rescore_positions",
-    "scan_block",
+    "scan_segment",
 ]
 
 #: Pad sequences to a multiple of this many positions (one f32 VREG row
@@ -149,15 +149,16 @@ def argmax_last(scores: jax.Array) -> jax.Array:
 _SEG = 512
 
 
-def threshold_positions(scores: jax.Array, threshold, cap: int):
+def threshold_positions(scores: jax.Array, threshold, cap: int,
+                        dense: bool = False):
     """Fixed-capacity compaction of ``scores >= threshold``.
 
     Returns ``(count, indices[cap], valid)``; see :func:`compact_mask`.
     """
-    return compact_mask(scores >= threshold, cap)
+    return compact_mask(scores >= threshold, cap, dense)
 
 
-def compact_mask(mask: jax.Array, cap: int):
+def compact_mask(mask: jax.Array, cap: int, dense: bool = False):
     """Fixed-capacity compaction of the set indices of a boolean mask.
 
     Returns ``(count, indices[cap], valid)``: ``count`` is the exact
@@ -172,9 +173,14 @@ def compact_mask(mask: jax.Array, cap: int):
     genome); instead the compaction is hierarchical: per-segment
     candidate counts (one cheap reduction), a tiny sort over the segment
     indices, a gather of only the active segments, and a small sort to
-    extract positions.
+    extract positions.  ``dense=True`` selects the full-sort path
+    directly (always valid, exact for any density).
     """
     orig_n = mask.shape[0]
+    if dense:
+        count = jnp.sum(mask.astype(jnp.int32))
+        (idx,) = jnp.nonzero(mask, size=cap, fill_value=orig_n)
+        return count, idx.astype(jnp.int32), jnp.bool_(True)
     n = orig_n
     if n % _SEG:
         pad = _SEG - n % _SEG
@@ -232,29 +238,6 @@ def rescore_positions(seq: jax.Array, pssm: jax.Array, positions: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_scores", "cap"))
-def scan_block(seq, dm, pssm, t_scaled, threshold, n_scores: int, cap: int):
-    """One-shot two-pass scan of a (padded) sequence.
-
-    1. int32 discrete scores on the MXU (over-estimate);
-    2. candidate compaction at the scaled threshold;
-    3. exact f32 rescore of candidates;
-    4. final mask at the f32 threshold.
-
-    Returns ``(count, positions[cap], scores[cap], keep[cap])``:
-    ``count`` is the number of *discrete* candidates (for overflow
-    detection), ``keep`` marks candidates passing the f32 threshold.
-    """
-    from . import kernels  # Pallas on TPU, XLA fallback elsewhere
-
-    dscores = kernels.score_u8(seq, dm, n_scores)
-    count, idx, valid = threshold_positions(dscores, t_scaled, cap)
-    count = jnp.where(valid, count, count + jnp.int32(cap + 1))
-    fscores = rescore_positions(seq, pssm, idx)
-    keep = (idx < n_scores) & (fscores >= threshold)
-    return count, idx, fscores, keep
-
-
 @functools.partial(
     jax.jit, static_argnames=("chunk_len", "cap", "dense"),
     donate_argnums=(),
@@ -287,14 +270,7 @@ def scan_segment(seq, off, n_here, dm, pssm, t_scaled, threshold,
     dscores = kernels.score_u8(chunk, dm, chunk_len)
     pos = jax.lax.broadcasted_iota(jnp.int32, dscores.shape, 0)
     dscores = jnp.where(pos < n_here, dscores, -1)
-    if dense:
-        mask = dscores >= t_scaled
-        count = jnp.sum(mask.astype(jnp.int32))
-        (idx,) = jnp.nonzero(mask, size=cap, fill_value=dscores.shape[0])
-        idx = idx.astype(jnp.int32)
-        valid = jnp.bool_(True)
-    else:
-        count, idx, valid = threshold_positions(dscores, t_scaled, cap)
+    count, idx, valid = threshold_positions(dscores, t_scaled, cap, dense)
     fscores = rescore_positions(chunk, pssm, idx)
     keep = (idx < n_here) & (fscores >= threshold)
     # front-compact accepted hits; threshold_positions returns unsorted

@@ -96,15 +96,8 @@ def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk,
         dscores = xla_ops.score_u8(seq, dm, chunk)
         pos = jax.lax.broadcasted_iota(jnp.int32, dscores.shape, 0)
         dscores = jnp.where(pos < n_local, dscores, -1)
-        if dense:
-            mask = dscores >= t_scaled
-            count = jnp.sum(mask.astype(jnp.int32))
-            (idx,) = jnp.nonzero(mask, size=cap, fill_value=dscores.shape[0])
-            idx = idx.astype(jnp.int32)
-            valid = jnp.bool_(True)
-        else:
-            count, idx, valid = xla_ops.threshold_positions(
-                dscores, t_scaled, cap)
+        count, idx, valid = xla_ops.threshold_positions(
+            dscores, t_scaled, cap, dense)
         fscores = xla_ops.rescore_positions(seq, pssm, idx)
         keep = (idx < n_local) & (fscores >= threshold)
         # front-compact accepted hits (transfer-frugal, like the
@@ -322,19 +315,10 @@ def sharded_multi_scan(
     t_scaled = np.asarray(
         [d.scale(t) for d, t in zip(dms, thresholds)], np.int32)
 
-    m_pad = -(-mcount // multi_kernel.BITS_PER_WORD) * \
-        multi_kernel.BITS_PER_WORD
-    n_blocks = -(-m_max // multi_kernel.ROWS_PER_BLOCK)
     dm_stack, _ = multi.stack_motifs(
         [d.data.astype(np.float32) for d in dms], k)
-    filters = np.zeros((n_blocks * multi_kernel.MAX_MK, m_pad), np.float32)
-    for j in range(m_max):
-        r = ((j // multi_kernel.ROWS_PER_BLOCK) * multi_kernel.MAX_MK
-             + (j % multi_kernel.ROWS_PER_BLOCK)
-             * multi_kernel.LANES_PER_ROW)
-        filters[r:r + k, :mcount] = dm_stack[:, j, :].T
-    t_eff = np.full((1, m_pad), np.inf, np.float32)
-    t_eff[0, :mcount] = np.where(t_scaled > 255, np.inf, t_scaled)
+    filters, t_eff = multi_kernel.pack_filters(dm_stack, t_scaled, k)
+    m_pad = filters.shape[1]
 
     mesh = mesh or make_genome_mesh()
     n_dev = mesh.devices.size
@@ -410,21 +394,16 @@ class ShardedScanner:
     def collect(self):
         from ..scanner import Hit
 
-        cap = 1 << 16
-        while True:
-            try:
-                positions, scores = sharded_scan(
-                    np.asarray(self.pssm.data),
-                    np.asarray(self.dm.data),
-                    self.encoded,
-                    self.threshold,
-                    self.dm.scale(self.threshold),
-                    mesh=self.mesh,
-                    cap=cap,
-                )
-                break
-            except OverflowError:
-                cap *= 2
+        # sharded_scan sizes its own dense retry from the exact
+        # candidate count; no outer ladder is needed
+        positions, scores = sharded_scan(
+            np.asarray(self.pssm.data),
+            np.asarray(self.dm.data),
+            self.encoded,
+            self.threshold,
+            self.dm.scale(self.threshold),
+            mesh=self.mesh,
+        )
         order = np.argsort(positions, kind="stable")
         return [Hit(int(p), float(s)) for p, s in zip(positions[order], scores[order])]
 

@@ -2,7 +2,7 @@
 
 TPU re-design of the reference ``Scanner`` (``lightmotif/src/scan.rs``):
 the cheap quantized pre-filter and the exact f32 rescore are *fused into
-one jitted device program* (``ops.xla_ops.scan_block``) instead of a
+one jitted device program* (``ops.xla_ops.scan_segment``) instead of a
 host loop over 256-row blocks:
 
 1. int32 discrete scores for every position via a one-hot MXU matmul
@@ -11,9 +11,10 @@ host loop over 256-row blocks:
 3. exact f32 rescore of the candidates (sequential-order adds);
 4. final f32 threshold mask.
 
-Variable-length output is handled with capacity doubling: if the
-candidate count overflows the compaction buffer, the segment is
-re-scanned with a larger one.  Long sequences are processed in fixed
+Variable-length output is handled with a single exact-count retry: if
+candidates overflow (or spread past) the hierarchical compaction, the
+segment re-scans once with a dense full-sort compaction sized from the
+exact candidate count.  Long sequences are processed in fixed
 size segments with a (motif_len - 1)-position halo -- the same overlap
 rule as the reference's wrap rows (``seq.rs:369-381``) -- so device
 memory stays bounded and compiled programs are reused across segments.
@@ -38,6 +39,23 @@ DEFAULT_SEGMENT = 1 << 23
 
 #: Initial candidate-buffer capacity per segment.
 DEFAULT_CAPACITY = 1 << 16
+
+
+def _scan_buffer(cached, dseq_data, need: int, wildcard: int):
+    """Device scan buffer padded so every ``[off, off + chunk_len)``
+    in-program slice is in bounds; reuses ``dseq_data`` when already big
+    enough, otherwise pads on device (the genome never crosses the host
+    link)."""
+    import jax.numpy as jnp
+
+    if cached is not None and int(cached.shape[0]) >= need:
+        return cached
+    lp = int(dseq_data.shape[0])
+    if lp >= need:
+        return dseq_data
+    return jnp.concatenate(
+        [dseq_data, jnp.full((need - lp,), wildcard, jnp.int8)]
+    )
 
 
 @functools.total_ordering
@@ -126,24 +144,10 @@ class Scanner:
         # scan-owned device buffer padded so every in-program slice
         # ``[off, off + chunk_len)`` is in bounds
         n_segments = -(-n_total // seg)
-        data = self._scan_data
         need = (n_segments - 1) * seg + chunk_len
-        if data is None or int(data.shape[0]) < need:
-            lp = int(dseq.data.shape[0])
-            if lp >= need:
-                data = dseq.data
-            else:  # pad on device; the genome never crosses the host link
-                data = jnp.concatenate(
-                    [
-                        dseq.data,
-                        jnp.full(
-                            (need - lp,),
-                            self.pssm.alphabet.default_index,
-                            jnp.int8,
-                        ),
-                    ]
-                )
-            self._scan_data = data
+        data = self._scan_data = _scan_buffer(
+            self._scan_data, dseq.data, need,
+            self.pssm.alphabet.default_index)
 
         off = 0
         dense = self._dense
@@ -280,50 +284,27 @@ class MultiScanner:
         mcount = len(self.pssms)
         k = self.pssms[0].alphabet.size
         fused = multi_kernel.supports_fused(m_max, k, mcount)
-        # the fused prefilter materializes [segment, M/16] bits; the
-        # windows path materializes [segment, M] i32 scores plus the
-        # [segment, m*K] one-hot -- budget segments accordingly
-        density = max(mcount, 1) // 16 + 1 if fused else max(mcount, 1)
+        # the fused prefilter materializes [segment, M/16] int32 bits;
+        # the windows path materializes [segment, M] i32 scores PLUS the
+        # [segment, m_max*K] bf16 one-hot -- budget segments accordingly
+        # (bf16 elements count half an i32)
+        if fused:
+            density = max(mcount, 1) // 16 + 1
+        else:
+            density = max(mcount, 1) + (m_max * k + 1) // 2
         seg = max(unit, (self.MAX_SEGMENT_ELEMS // density) // unit * unit)
         seg = min(seg, DEFAULT_SEGMENT, xla_ops.pad_length(n_total, unit))
         chunk_len = seg + unit
 
         n_segments = -(-n_total // seg)
         need = (n_segments - 1) * seg + chunk_len
-        data = self._scan_data
-        if data is None or int(data.shape[0]) < need:
-            lp = int(dseq.data.shape[0])
-            if lp >= need:
-                data = dseq.data
-            else:
-                data = jnp.concatenate(
-                    [
-                        dseq.data,
-                        jnp.full(
-                            (need - lp,),
-                            self.pssms[0].alphabet.default_index,
-                            jnp.int8,
-                        ),
-                    ]
-                )
-            self._scan_data = data
+        data = self._scan_data = _scan_buffer(
+            self._scan_data, dseq.data, need,
+            self.pssms[0].alphabet.default_index)
 
         if fused:
-            # stacked filters [128, M_pad] + effective thresholds
-            m_pad = -(-mcount // multi_kernel.BITS_PER_WORD) * \
-                multi_kernel.BITS_PER_WORD
-            n_blocks = -(-m_max // multi_kernel.ROWS_PER_BLOCK)
-            filters = np.zeros(
-                (n_blocks * multi_kernel.MAX_MK, m_pad), np.float32)
-            for j in range(m_max):
-                r = ((j // multi_kernel.ROWS_PER_BLOCK) * multi_kernel.MAX_MK
-                     + (j % multi_kernel.ROWS_PER_BLOCK)
-                     * multi_kernel.LANES_PER_ROW)
-                filters[r:r + k, :mcount] = self.dm_stack[:, j, :].T
-            t_eff = np.full((1, m_pad), np.inf, np.float32)
-            t_eff[0, :mcount] = np.where(
-                self.t_scaled > 255, np.inf, self.t_scaled
-            ).astype(np.float32)
+            filters, t_eff = multi_kernel.pack_filters(
+                self.dm_stack, self.t_scaled, k)
             filt_dev = jnp.asarray(filters)
             te_dev = jnp.asarray(t_eff)
         dm_dev = jnp.asarray(self.dm_stack)

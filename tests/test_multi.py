@@ -1,5 +1,6 @@
 """Multi-motif fused scanning tests."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -73,12 +74,14 @@ def test_multi_fused_prefilter_parity(genome):
     assert multi_kernel.supports_fused(
         max(len(p) for p in motifs), 5, len(motifs)) in (True, False)
     kernels.INTERPRET = True
+    jax.clear_caches()  # flag is baked into traced executables
     try:
         assert multi_kernel.supports_fused(
             max(len(p) for p in motifs), 5, len(motifs))
         fused = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0]).collect()
     finally:
         kernels.INTERPRET = False
+        jax.clear_caches()
     windows = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0]).collect()
     a = [(h.motif, h.position, h.score) for h in fused]
     b = [(h.motif, h.position, h.score) for h in windows]
@@ -104,10 +107,12 @@ def test_multi_fused_long_motifs(genome):
         motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
 
     kernels.INTERPRET = True
+    jax.clear_caches()  # flag is baked into traced executables
     try:
         fused = MultiScanner(motifs, genome, -6.0).collect()
     finally:
         kernels.INTERPRET = False
+        jax.clear_caches()
     windows = MultiScanner(motifs, genome, -6.0).collect()
     assert [(h.motif, h.position, h.score) for h in fused] == [
         (h.motif, h.position, h.score) for h in windows

@@ -92,12 +92,14 @@ def test_sharded_multi_scan_matches_single(genome_mesh=None):
     seq = EncodedSequence(genome.astype(np.uint8))
 
     kernels.INTERPRET = True
+    jax.clear_caches()  # flag is baked into traced executables
     try:
         mesh = make_genome_mesh()
         hits = sharded_multi_scan(motifs, genome, -6.0, mesh=mesh)
         single = MultiScanner(motifs, seq, -6.0).collect()
     finally:
         kernels.INTERPRET = False
+        jax.clear_caches()
     a = [(h.motif, h.position, h.score) for h in hits]
     b = [(h.motif, h.position, h.score) for h in single]
     assert a == b
