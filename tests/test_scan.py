@@ -90,3 +90,40 @@ def test_long_sequence_segments(pssm):
     assert [p for p, _ in got] == [p for p, _ in expected]
     for (p1, s1), (p2, s2) in zip(got, expected):
         assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+def test_scanner_dense_retry_small_capacity():
+    """Spread/dense candidates force the exact-count dense retry."""
+    rng = np.random.default_rng(3)
+    seq = EncodedSequence(rng.integers(0, 4, size=20_000, dtype=np.uint8))
+    pssm = build_pssm()
+    host = pssm.score_host(seq)
+    threshold = float(np.quantile(host, 0.2))  # ~80% of positions pass
+    sc = Scanner(pssm, seq, threshold=threshold, capacity=64)
+    got = {(h.position, np.float32(h.score)) for h in sc}
+    want = {
+        (i, s)
+        for i, s in enumerate(host.astype(np.float32))
+        if s >= np.float32(threshold)
+    }
+    assert got == want
+    assert sc._dense  # the sticky dense mode engaged
+
+
+def test_scanner_with_wildcards():
+    """Sequences containing N score and scan like the reference."""
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 4, size=5_000, dtype=np.uint8)
+    data[::97] = 4  # sprinkle N
+    seq = EncodedSequence(data)
+    pssm = build_pssm()
+    host = pssm.score_host(seq)
+    threshold = float(np.sort(host)[-20])
+    got = {(h.position, np.float32(h.score))
+           for h in Scanner(pssm, seq, threshold=threshold)}
+    want = {
+        (i, s)
+        for i, s in enumerate(host.astype(np.float32))
+        if s >= np.float32(threshold)
+    }
+    assert got == want

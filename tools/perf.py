@@ -55,4 +55,17 @@ def repeat_time(make_op, r_lo: int = 2, r_hi: int = 10, trials: int = 5):
             float(jax.device_get(f()))
             best = min(best, time.perf_counter() - t0)
         results[r] = best
-    return (results[r_hi] - results[r_lo]) / (r_hi - r_lo), results
+    per_iter = (results[r_hi] - results[r_lo]) / (r_hi - r_lo)
+    # The slope is only trustworthy when the rep-span delta dwarfs the
+    # tunnel's ~milliseconds of round-trip jitter; small spans produced
+    # phantom 5x "speedups" in early measurements.
+    if 0 < results[r_hi] - results[r_lo] < 0.01:
+        import warnings
+
+        warnings.warn(
+            f"repeat_time span too small ({results[r_hi] - results[r_lo]:.4f}s"
+            f" between r={r_lo} and r={r_hi}); increase r_hi -- the slope is"
+            " dominated by host jitter",
+            stacklevel=2,
+        )
+    return per_iter, results
