@@ -152,9 +152,12 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
 
     safe_pos = jnp.minimum(pos_idx, chunk_len - 1)
     words = bits[safe_pos]  # [cap, W]
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
-    bools = ((words[:, :, None] >> shifts) & 1).astype(jnp.bool_)
-    bools = bools.reshape(cap, n_words * 16)
+    # expand bits in 2-D (a 3-D [cap, W, 16] intermediate would pad its
+    # 16-lane minor dimension to 128 -- an 8x memory blow-up on TPU)
+    m_pad_total = n_words * multi_kernel.BITS_PER_WORD
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad_total), 1)
+    wexp = jnp.take(words, lane[0] // multi_kernel.BITS_PER_WORD, axis=1)
+    bools = ((wexp >> (lane % multi_kernel.BITS_PER_WORD)) & 1) != 0
     bools = bools & (pos_idx < chunk_len)[:, None]
     flat = bools.reshape(-1)
     pair_count, pair_idx, pair_valid = xla_ops.compact_mask(flat, cap, dense)
