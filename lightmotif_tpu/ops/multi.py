@@ -152,21 +152,31 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
 
     safe_pos = jnp.minimum(pos_idx, chunk_len - 1)
     words = bits[safe_pos]  # [cap, W]
-    # expand bits in 2-D (a 3-D [cap, W, 16] intermediate would pad its
-    # 16-lane minor dimension to 128 -- an 8x memory blow-up on TPU)
-    m_pad_total = n_words * multi_kernel.BITS_PER_WORD
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad_total), 1)
-    wexp = jnp.take(words, lane[0] // multi_kernel.BITS_PER_WORD, axis=1)
-    bools = ((wexp >> (lane % multi_kernel.BITS_PER_WORD)) & 1) != 0
-    bools = bools & (pos_idx < chunk_len)[:, None]
+    words = jnp.where((pos_idx < chunk_len)[:, None], words, 0)
+
+    # pairs extract through two more SMALL compactions -- candidate
+    # words, then bits of surviving words -- so work scales with hits,
+    # not with cap * n_motifs (a flat [cap, M] expansion cost seconds
+    # and gigabytes at M ~ 1024)
+    wmask = (words != 0).reshape(-1)  # [cap * W]
+    wcount, widx, wvalid = xla_ops.compact_mask(wmask, cap, dense)
+    wsafe = jnp.minimum(widx, wmask.shape[0] - 1)
+    wvals = jnp.where(widx < wmask.shape[0],
+                      jnp.take(words.reshape(-1), wsafe), 0)
+    wrow = jnp.minimum(wsafe // n_words, cap - 1)
+    wpos = pos_idx[wrow]
+    wword = wsafe % n_words
+
+    bpw = multi_kernel.BITS_PER_WORD
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, bpw), 1)
+    bools = ((wvals[:, None] >> lane16) & 1) != 0  # [cap, 16]
     flat = bools.reshape(-1)
     pair_count, pair_idx, pair_valid = xla_ops.compact_mask(flat, cap, dense)
     pair_idx = jnp.minimum(pair_idx, flat.shape[0])
 
-    m_per_row = n_words * 16
-    rows = jnp.minimum(pair_idx // m_per_row, cap - 1)
-    positions = pos_idx[rows]
-    motif_ids = jnp.minimum(pair_idx % m_per_row, mcount - 1)
+    rows = jnp.minimum(pair_idx // bpw, cap - 1)
+    positions = wpos[rows]
+    motif_ids = jnp.minimum(wword[rows] * bpw + pair_idx % bpw, mcount - 1)
 
     fscores = rescore_multi(chunk, pssms, positions, motif_ids)
     keep = (
@@ -175,9 +185,9 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
         & (fscores >= thresholds[motif_ids])
     )
     n_kept = jnp.sum(keep.astype(jnp.int32))
-    # sort kept hits by (position, motif): pair_idx is already
-    # (ascending position, motif) -- both compaction paths emit
-    # ascending indices -- and stays well inside int32
+    # sort kept hits by (position, motif): every compaction emits
+    # ascending indices, so pair_idx already orders (position, word,
+    # bit) == (position, motif), and stays well inside int32
     key = jnp.where(keep, pair_idx, jnp.int32(2**31 - 1))
     order = jnp.argsort(key)
     packed = jnp.stack([
@@ -185,8 +195,11 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
         jnp.take(motif_ids, order),
         jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
     ])
-    count = jnp.maximum(pos_count, jnp.maximum(pairs_total, pair_count))
-    valid = (pos_valid & pair_valid).astype(jnp.int32)
+    count = jnp.maximum(
+        jnp.maximum(pos_count, wcount),
+        jnp.maximum(pairs_total, pair_count),
+    )
+    valid = (pos_valid & wvalid & pair_valid).astype(jnp.int32)
     return jnp.stack([count, n_kept, valid]), packed
 
 
