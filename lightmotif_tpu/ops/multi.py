@@ -158,8 +158,11 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
     # words, then bits of surviving words -- so work scales with hits,
     # not with cap * n_motifs (a flat [cap, M] expansion cost seconds
     # and gigabytes at M ~ 1024)
+    # (these two levels run over bounded [cap*W] / [cap*16] arrays whose
+    # set bits are inherently spread -- the hierarchical pass would
+    # always fall back, so go straight to the dense sort)
     wmask = (words != 0).reshape(-1)  # [cap * W]
-    wcount, widx, wvalid = xla_ops.compact_mask(wmask, cap, dense)
+    wcount, widx, wvalid = xla_ops.compact_mask(wmask, cap, dense=True)
     wsafe = jnp.minimum(widx, wmask.shape[0] - 1)
     wvals = jnp.where(widx < wmask.shape[0],
                       jnp.take(words.reshape(-1), wsafe), 0)
@@ -171,7 +174,8 @@ def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, bpw), 1)
     bools = ((wvals[:, None] >> lane16) & 1) != 0  # [cap, 16]
     flat = bools.reshape(-1)
-    pair_count, pair_idx, pair_valid = xla_ops.compact_mask(flat, cap, dense)
+    pair_count, pair_idx, pair_valid = xla_ops.compact_mask(
+        flat, cap, dense=True)
     pair_idx = jnp.minimum(pair_idx, flat.shape[0])
 
     rows = jnp.minimum(pair_idx // bpw, cap - 1)
