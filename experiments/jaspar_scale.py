@@ -30,7 +30,7 @@ def main():
     thresholds = [p.score_distribution().score(1e-6) for p in motifs]
     print("motifs built", flush=True)
 
-    ms = MultiScanner(motifs, seq, thresholds=thresholds, capacity=1 << 18)
+    ms = MultiScanner(motifs, seq, thresholds=thresholds, capacity=1 << 16)
     t0 = time.perf_counter()
     hits = ms.collect()
     t1 = time.perf_counter()
