@@ -144,6 +144,38 @@ class Pipeline:
     def threshold(self, scores: StripedScores, value) -> list:
         return scores.threshold(value)
 
+    # -- fused device reductions ---------------------------------------------
+    # Genome-scale max/argmax without transferring the score array to
+    # the host (the reference's Maximum trait, pli/mod.rs:133-161).
+
+    @staticmethod
+    @functools.lru_cache(maxsize=64)
+    def _argmax_fn(backend: str, n_scores: int):
+        if backend == "pallas":
+            from . import kernels as kmod
+
+            score = kmod.score_f32
+        else:
+            score = xla_ops.score_f32
+
+        def fn(seq, pssm):
+            scores = score(seq, pssm, n_scores)
+            return xla_ops.max_last(scores), xla_ops.argmax_last(scores)
+
+        return jax.jit(fn)
+
+    def score_max(self, pssm, seq):
+        """(max score, argmax) of every window, reduced on device; the
+        tie rule matches the reference (last maximum wins)."""
+        dseq = _as_device_seq(seq)
+        m = len(pssm)
+        n = max(dseq.length - m + 1, 0)
+        if n == 0:
+            return None, None
+        pssm_dev = jnp.asarray(np.asarray(pssm.data, dtype=np.float32))
+        mx, am = self._argmax_fn(self.backend, n)(dseq.data, pssm_dev)
+        return float(jax.device_get(mx)), int(jax.device_get(am))
+
 
 _DEFAULT: Pipeline | None = None
 

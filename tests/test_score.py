@@ -148,3 +148,15 @@ def test_scan_protein():
         (i, s) for i, s in enumerate(host.astype(np.float32)) if s >= threshold
     }
     assert got == want
+
+
+def test_score_max_device(pipeline, pssm, seq):
+    # fused device max/argmax == host reduction (last-max tie rule)
+    mx, am = pipeline.score_max(pssm, seq)
+    scores = np.asarray(pipeline.score(pssm, seq).unstripe())
+    assert mx == scores.max()
+    assert am == 18
+    # tie rule: last maximal position wins
+    host = scores.copy()
+    last = int(np.where(host == host.max())[0][-1])
+    assert am == last
