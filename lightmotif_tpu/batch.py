@@ -1,0 +1,118 @@
+"""Batched scanning of many sequences in one device pass.
+
+The reference CLI hands each (motif, sequence) pair to a worker thread;
+scanning thousands of short FASTA records one device dispatch at a time
+would instead be dominated by per-call latency.  ``BatchScanner``
+concatenates the records with ``motif_len - 1`` wildcard separators,
+runs ONE two-pass scan over the concatenation, and splits the hits back
+per record.
+
+Windows that cross a record boundary necessarily touch at least one
+separator symbol; they may appear as discrete candidates (wasting a
+little capacity) but are dropped exactly by the
+``local_position <= len(record) - m`` rule, so the per-record hit sets
+equal what :class:`lightmotif_tpu.scanner.Scanner` returns record by
+record.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .scanner import Hit, MultiHit, MultiScanner, Scanner
+from .sequence import EncodedSequence
+
+__all__ = ["BatchScanner", "MultiBatchScanner"]
+
+
+def _concatenate(seqs, gap: int, alphabet):
+    seqs = list(seqs)
+    if not seqs:
+        raise ValueError("no sequences given")
+    offsets = np.zeros(len(seqs), dtype=np.int64)
+    lengths = np.zeros(len(seqs), dtype=np.int64)
+    parts = []
+    pos = 0
+    pad = np.full(gap, alphabet.default_index, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        if not isinstance(s, EncodedSequence):
+            s = EncodedSequence(s, alphabet)
+        offsets[i] = pos
+        lengths[i] = len(s)
+        parts.append(np.asarray(s.data, dtype=np.uint8))
+        parts.append(pad)
+        pos += len(s) + gap
+    data = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return EncodedSequence(data, alphabet), offsets, lengths
+
+
+def _split(positions, scores, offsets, lengths, m):
+    """Map concatenated-space hits back to (record, local) hits."""
+    record = np.searchsorted(offsets, positions, side="right") - 1
+    local = positions - offsets[record]
+    keep = local <= lengths[record] - m
+    return record[keep], local[keep], scores[keep]
+
+
+class BatchScanner:
+    """Scan one PSSM over many sequences in a single device pass."""
+
+    def __init__(self, pssm, seqs, threshold: float = 0.0, **kw):
+        self.pssm = pssm
+        gap = max(len(pssm) - 1, 0)
+        self._concat, self._offsets, self._lengths = _concatenate(
+            seqs, gap, pssm.alphabet)
+        self._scanner = Scanner(pssm, self._concat, threshold=threshold, **kw)
+
+    def collect(self) -> list:
+        """Per-record hit lists (``[[Hit, ...], ...]``), each ordered by
+        position like a per-record :class:`Scanner` run."""
+        pos, sc = [], []
+        for positions, scores in self._scanner._scan_segments():
+            pos.append(positions)
+            sc.append(scores)
+        out = [[] for _ in self._offsets]
+        if pos:
+            positions = np.concatenate(pos)
+            scores = np.concatenate(sc)
+            rec, local, kept = _split(
+                positions, scores, self._offsets, self._lengths,
+                len(self.pssm))
+            for r, p, s in zip(rec, local, kept):
+                out[int(r)].append(Hit(int(p), float(s)))
+        for hits in out:
+            hits.sort(key=lambda h: h.position)
+        return out
+
+
+class MultiBatchScanner:
+    """Scan many PSSMs over many sequences in a single device pass."""
+
+    def __init__(self, pssms, seqs, thresholds=0.0, **kw):
+        self.pssms = list(pssms)
+        if not self.pssms:
+            raise ValueError("no motifs given")
+        m_max = max(len(p) for p in self.pssms)
+        gap = max(m_max - 1, 0)
+        self._m = [len(p) for p in self.pssms]
+        self._concat, self._offsets, self._lengths = _concatenate(
+            seqs, gap, self.pssms[0].alphabet)
+        self._scanner = MultiScanner(
+            self.pssms, self._concat, thresholds=thresholds, **kw)
+
+    def collect(self) -> list:
+        """Per-record lists of :class:`MultiHit`, ordered by
+        (motif, position)."""
+        hits = self._scanner.collect()
+        out = [[] for _ in self._offsets]
+        if hits:
+            positions = np.asarray([h.position for h in hits])
+            record = np.searchsorted(self._offsets, positions,
+                                     side="right") - 1
+            local = positions - self._offsets[record]
+            for h, r, p in zip(hits, record, local):
+                if p <= self._lengths[r] - self._m[h.motif]:
+                    out[int(r)].append(MultiHit(h.motif, int(p), h.score))
+        for lst in out:
+            lst.sort(key=lambda h: (h.motif, h.position))
+        return out

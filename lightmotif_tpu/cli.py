@@ -190,26 +190,61 @@ def main(argv=None) -> int:
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     t0 = time.perf_counter()
     n_hits = 0
+
+    def write_hits(si, name, rows):
+        nonlocal n_hits
+        for job, strand, hit in rows:
+            pv = job.dist.pvalue(hit.score)
+            out.write(
+                f"{si + 1}\t{name}\t{job.index + 1}\t"
+                f"{job.name}\t{hit.position}\t{strand}\t"
+                f"{np.float32(hit.score)}\t{pv:e}\n"
+            )
+            n_hits += 1
+        if not args.quiet:
+            print(
+                f"[{time.perf_counter() - t0:8.2f}s] {si + 1} sequences, "
+                f"{n_hits} hits",
+                file=sys.stderr,
+            )
+
     try:
         out.write(
             "seq_index\tseq_name\tmotif_index\tmotif_name\tpos\tstrand\tscore\tpvalue\n"
         )
-        for si, record in enumerate(read_fasta(args.sequences)):
-            seq = EncodedSequence.encode_lossy(record.sequence, alphabet)
-            for job, strand, hit in _scan_all(motifs, seq, args):
-                pv = job.dist.pvalue(hit.score)
-                out.write(
-                    f"{si + 1}\t{record.name}\t{job.index + 1}\t"
-                    f"{job.name}\t{hit.position}\t{strand}\t"
-                    f"{np.float32(hit.score)}\t{pv:e}\n"
-                )
-                n_hits += 1
-            if not args.quiet:
-                print(
-                    f"[{time.perf_counter() - t0:8.2f}s] {si + 1} sequences, "
-                    f"{n_hits} hits",
-                    file=sys.stderr,
-                )
+        records = list(read_fasta(args.sequences))
+        seqs = [
+            EncodedSequence.encode_lossy(r.sequence, alphabet)
+            for r in records
+        ]
+        total = sum(len(s) for s in seqs)
+        # many small records batch into one device pass (per-record
+        # dispatch latency would dominate otherwise)
+        if (len(records) > 8 and total < (32 << 20) and not args.mesh
+                and motifs):
+            strands = []
+            for job in motifs:
+                if args.direct:
+                    strands.append((job, "+", job.pssm))
+                if job.reverse is not None:
+                    strands.append((job, "-", job.reverse))
+            from .batch import MultiBatchScanner
+
+            per_record = MultiBatchScanner(
+                [p for _, _, p in strands],
+                seqs,
+                [job.threshold for job, _, _ in strands],
+            ).collect()
+            for si, (record, hits) in enumerate(zip(records, per_record)):
+                rows = [
+                    (strands[h.motif][0], strands[h.motif][1], h)
+                    for h in hits
+                ]
+                write_hits(si, record.name, rows)
+        else:
+            for si, (record, seq) in enumerate(zip(records, seqs)):
+                write_hits(si, record.name,
+                           _scan_all(motifs, seq, args))
     finally:
         if out is not sys.stdout:
             out.close()

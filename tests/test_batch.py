@@ -1,0 +1,67 @@
+"""Batched many-sequence scanning == per-record scanning."""
+
+import numpy as np
+
+from lightmotif_tpu import CountMatrix, EncodedSequence
+from lightmotif_tpu.batch import BatchScanner, MultiBatchScanner
+from lightmotif_tpu.scanner import MultiScanner, Scanner
+
+from .data import build_pssm
+
+
+def _random_records(rng, n, lo=40, hi=400):
+    return [
+        EncodedSequence(
+            rng.integers(0, 4, size=int(rng.integers(lo, hi)),
+                         dtype=np.uint8)
+        )
+        for _ in range(n)
+    ]
+
+
+def test_batch_scanner_matches_per_record():
+    rng = np.random.default_rng(6)
+    pssm = build_pssm()
+    records = _random_records(rng, 25)
+    batch = BatchScanner(pssm, records, threshold=-12.0).collect()
+    assert len(batch) == len(records)
+    for seq, hits in zip(records, batch):
+        want = [(h.position, np.float32(h.score))
+                for h in Scanner(pssm, seq, threshold=-12.0)]
+        got = [(h.position, np.float32(h.score)) for h in hits]
+        assert got == want
+
+
+def test_batch_scanner_short_records():
+    # records shorter than the motif produce no hits and no errors
+    rng = np.random.default_rng(7)
+    pssm = build_pssm()
+    records = [
+        EncodedSequence(rng.integers(0, 4, size=n, dtype=np.uint8))
+        for n in (3, 15, 200, 14, 60)
+    ]
+    batch = BatchScanner(pssm, records, threshold=-30.0).collect()
+    assert batch[0] == [] and batch[3] == []
+    assert len(batch[2]) > 0
+
+
+def test_multi_batch_scanner_matches_per_record():
+    rng = np.random.default_rng(8)
+    motifs = []
+    for width in (6, 15):
+        sites = [
+            "".join("ACTG"[j] for j in rng.integers(0, 4, size=width))
+            for _ in range(4)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    records = _random_records(rng, 12)
+    batch = MultiBatchScanner(motifs, records, thresholds=-8.0).collect()
+    for seq, hits in zip(records, batch):
+        want = [
+            (h.motif, h.position, np.float32(h.score))
+            for h in MultiScanner(motifs, seq, thresholds=-8.0).collect()
+        ]
+        got = [(h.motif, h.position, np.float32(h.score)) for h in hits]
+        assert got == want

@@ -100,3 +100,44 @@ def test_mesh_matches_single(files):
     rows_mesh = run(files, "--abs-threshold", "-12", "--mesh")
     key = lambda r: (r[0], r[2], int(r[4]), r[5])
     assert sorted(map(key, rows_single)) == sorted(map(key, rows_mesh))
+
+
+def test_batched_records_match_serial(tmp_path):
+    """>8 records trigger the batched device pass; rows must equal the
+    serial per-record scan."""
+    import numpy as np
+
+    m = tmp_path / "motifs.jaspar16"
+    m.write_text(MATRICES)
+    rng = np.random.default_rng(12)
+    fasta = []
+    for i in range(12):
+        s = "".join("ACGT"[j] for j in rng.integers(0, 4, size=120))
+        fasta.append(f">rec{i}\n{s}\n")
+    s1 = tmp_path / "many.fa"
+    s1.write_text("".join(fasta))
+    o1 = tmp_path / "o1.tsv"
+    rc = main(["-m", str(m), "--format", "jaspar16", "-s", str(s1),
+               "-o", str(o1), "-q", "--abs-threshold", "-14", "--reverse"])
+    assert rc == 0
+    rows_batch = open(o1).read().splitlines()[1:]
+
+    # serial reference: one record per file
+    rows_serial = []
+    for i, rec in enumerate(fasta):
+        sf = tmp_path / f"one{i}.fa"
+        sf.write_text(rec)
+        of = tmp_path / f"oo{i}.tsv"
+        main(["-m", str(m), "--format", "jaspar16", "-s", str(sf),
+              "-o", str(of), "-q", "--abs-threshold", "-14", "--reverse"])
+        for line in open(of).read().splitlines()[1:]:
+            cols = line.split("\t")
+            cols[0] = str(i + 1)
+            cols[1] = f"rec{i}"
+            rows_serial.append("\t".join(cols))
+
+    def key(r):
+        c = r.split("\t")
+        return (int(c[0]), c[3], int(c[4]), c[5])
+
+    assert sorted(rows_batch, key=key) == sorted(rows_serial, key=key)
