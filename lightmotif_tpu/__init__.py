@@ -35,6 +35,7 @@ from .scores import Scores, StripedScores
 from .sequence import EncodedSequence, StripedSequence
 from .scanner import Hit, Scanner
 from .sampler import Sampler, SamplerData
+from .sampler_batch import BatchSamplerResult, sample_oops_batch
 from .tfmpvalue import TfmPvalue
 from .motif import (
     JasparMotif,
@@ -66,6 +67,8 @@ __all__ = [
     "Scanner",
     "Sampler",
     "SamplerData",
+    "sample_oops_batch",
+    "BatchSamplerResult",
     "TfmPvalue",
     "create",
     "stripe",

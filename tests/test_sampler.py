@@ -126,3 +126,28 @@ def test_width_too_large():
     data = SamplerData([EncodedSequence.encode("ACGT")])
     with pytest.raises(ValueError):
         Sampler(data, width=10)
+
+
+def test_batched_oops_recovers_planted_motif():
+    from lightmotif_tpu.sampler_batch import sample_oops_batch
+
+    rng = np.random.default_rng(5)
+    motif = "GTTGACCTAT"
+    seqs = []
+    for i in range(20):
+        s = list("".join("ACGT"[j] for j in rng.integers(0, 4, size=120)))
+        pos = int(rng.integers(0, 110))
+        s[pos:pos + 10] = list(motif)
+        seqs.append("".join(s))
+
+    res = sample_oops_batch(seqs, width=10, steps=150, chains=32, seed=1)
+    assert res.information_content.shape == (32,)
+    consensus = res.count_matrix().consensus()
+    matches = sum(a == b for a, b in zip(consensus, motif))
+    assert matches >= 8, consensus
+    # deterministic under the threefry PRNG
+    res2 = sample_oops_batch(seqs, width=10, steps=150, chains=32, seed=1)
+    assert np.array_equal(res.starts, res2.starts)
+    # per-chain accessors
+    pssm = res.pssm()
+    assert len(pssm) == 10
