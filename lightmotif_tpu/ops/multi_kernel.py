@@ -49,17 +49,26 @@ TILE = 2048
 #: Contraction size (one MXU pass).
 MAX_MK = 128
 
-#: Lanes per motif row in the window layout (lane ``l`` holds
-#: ``(j, s) = (l // 8, l % 8)``; 8-lane groups keep every construction
-#: step vreg-aligned -- lane-granular concats crash this Mosaic build).
+#: Lanes per motif row in the window layout: lane ``l`` holds
+#: ``(j, s) = (l // lanes, l % lanes)`` with lanes = 8 for nucleotide
+#: alphabets and 32 for protein (power-of-two groups keep every
+#: construction step vreg-aligned -- lane-granular concats crash this
+#: Mosaic build).
 LANES_PER_ROW = 8
+LANES_PER_ROW_WIDE = 32
 
-#: Motif rows per contraction block (128 lanes / 8 per row).
+#: Motif rows per contraction block (128 lanes / lanes-per-row).
 ROWS_PER_BLOCK = MAX_MK // LANES_PER_ROW
 
-#: Maximum motif length of the fused path (contraction blocks are
-#: summed -- exact for integer data, order-free).
+#: Cap on summed contraction blocks (exact for integer data, order-free).
+MAX_BLOCKS = 4
+
+#: Maximum motif length of the fused path for K <= 8.
 MAX_M_ROWS = 2 * ROWS_PER_BLOCK
+
+
+def _lanes_for(k: int) -> int:
+    return LANES_PER_ROW if k <= LANES_PER_ROW else LANES_PER_ROW_WIDE
 
 
 def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
@@ -73,12 +82,13 @@ def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
     semantics, ``pwm/mod.rs:781-784``).
     """
     mcount, m_max, _ = dm_stack.shape
+    lanes = _lanes_for(k)
+    rpb = MAX_MK // lanes
     m_pad = -(-mcount // BITS_PER_WORD) * BITS_PER_WORD
-    n_blocks = -(-m_max // ROWS_PER_BLOCK)
+    n_blocks = -(-m_max // rpb)
     filters = np.zeros((n_blocks * MAX_MK, m_pad), np.float32)
     for j in range(m_max):
-        r = ((j // ROWS_PER_BLOCK) * MAX_MK
-             + (j % ROWS_PER_BLOCK) * LANES_PER_ROW)
+        r = (j // rpb) * MAX_MK + (j % rpb) * lanes
         filters[r:r + k, :mcount] = dm_stack[:, j, :].T
     t_eff = np.full((1, m_pad), np.inf, np.float32)
     t_eff[0, :mcount] = np.where(
@@ -87,7 +97,10 @@ def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
 
 
 def supports_fused(m_max: int, k: int, n_motifs: int) -> bool:
-    if m_max > MAX_M_ROWS or m_max < 2 or k > LANES_PER_ROW:
+    if k > LANES_PER_ROW_WIDE or m_max < 2:
+        return False
+    rpb = MAX_MK // _lanes_for(k)
+    if -(-m_max // rpb) > MAX_BLOCKS:
         return False
     from . import kernels
 
@@ -113,17 +126,18 @@ def _prefilter_kernel(filt_ref, tsc_ref, nval_ref, pow_ref, b0_ref, b1_ref,
     # rows use extra contraction blocks shifted 16 further each --
     # summed matmuls stay exact (integer data, order-free).
     rows = tile + w
+    lanes = _lanes_for(k)
+    rpb = MAX_MK // lanes
     base = jnp.broadcast_to(seq, (rows, MAX_MK))
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, MAX_MK), 1)
-    group = lane // LANES_PER_ROW
-    smap = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1) % \
-        LANES_PER_ROW
-    n_blocks = -(-m_max // ROWS_PER_BLOCK)
+    group = lane // lanes
+    smap = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1) % lanes
+    n_blocks = -(-m_max // rpb)
     scores = None
     for b in range(n_blocks):
         block_base = base if b == 0 else pltpu.roll(
-            base, rows - b * ROWS_PER_BLOCK, 0)
-        rows_here = min(m_max - b * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
+            base, rows - b * rpb, 0)
+        rows_here = min(m_max - b * rpb, rpb)
         seqw = block_base
         bit = 1
         while bit < rows_here:
@@ -171,7 +185,8 @@ def prefilter_bits(seq, filters, t_scaled, n_valid, m_max: int, k: int,
     lp = seq.shape[0]
     n_motifs = filters.shape[1]
     assert lp % tile == 0 and n_motifs % BITS_PER_WORD == 0
-    assert filters.shape[0] == -(-m_max // ROWS_PER_BLOCK) * MAX_MK
+    assert filters.shape[0] == \
+        -(-m_max // (MAX_MK // _lanes_for(k))) * MAX_MK
     grid = lp // tile
     n_words = n_motifs // BITS_PER_WORD
 

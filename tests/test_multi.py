@@ -117,3 +117,39 @@ def test_multi_fused_long_motifs(genome):
     assert [(h.motif, h.position, h.score) for h in fused] == [
         (h.motif, h.position, h.score) for h in windows
     ]
+
+
+def test_multi_fused_protein(genome):
+    """Protein alphabet (K=21) uses 32-lane groups in the fused path."""
+    import numpy as np
+
+    from lightmotif_tpu import PROTEIN, CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels, multi_kernel
+
+    assert multi_kernel.supports_fused(12, 21, 4) in (True, False)
+    rng = np.random.default_rng(13)
+    motifs = []
+    for width in (6, 12, 16):
+        sites = [
+            "".join(PROTEIN.symbols[j]
+                    for j in rng.integers(0, 20, size=width))
+            for _ in range(4)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s, PROTEIN) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    seq = EncodedSequence(
+        rng.integers(0, 20, size=3000, dtype=np.uint8), PROTEIN)
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        assert multi_kernel.supports_fused(16, 21, 3)
+        fused = MultiScanner(motifs, seq, -6.0).collect()
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    windows = MultiScanner(motifs, seq, -6.0).collect()
+    assert [(h.motif, h.position, h.score) for h in fused] == [
+        (h.motif, h.position, h.score) for h in windows
+    ]
