@@ -72,6 +72,10 @@ class EncodedSequence:
             data = data.data
         if alphabet is None:
             alphabet = DNA
+        if isinstance(data, str):
+            # reference constructor accepts text directly
+            # (lightmotif-py/lightmotif/lib.rs:157-180)
+            data = _encode_bytes(data.encode("ascii"), alphabet, lossy=False)
         arr = np.asarray(data, dtype=np.uint8)
         if arr.ndim != 1:
             raise ValueError("encoded sequence must be one-dimensional")

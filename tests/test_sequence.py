@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from lightmotif_tpu import DNA, EncodedSequence, StripedSequence
@@ -79,3 +80,15 @@ def test_empty():
     seq = EncodedSequence.encode("")
     striped = seq.to_striped(columns=2)
     assert striped.rows == 0
+
+
+def test_constructor_accepts_text():
+    # reference constructor parity (lightmotif-py test_sequence.py)
+    s1 = EncodedSequence("ATGC")
+    A, C, T, G, N = range(5)
+    assert len(s1) == 4
+    assert [s1[i] for i in range(4)] == [A, T, G, C]
+    with pytest.raises(IndexError):
+        _ = s1[10]
+    mem = memoryview(np.asarray(s1))
+    assert mem[0] == A
