@@ -1,0 +1,63 @@
+"""The reference's own Python-bindings tests, run verbatim against us.
+
+Mirrors ``lightmotif-py/lightmotif/tests/{test_scanner,test_sequence,
+test_pvalue}.py`` so a user of the reference bindings can switch
+imports and keep their test suite green.
+"""
+
+import numpy as np
+import pytest
+
+import lightmotif_tpu as lightmotif
+
+SEQUENCE = "ATGTCCCAACAACGATACCCCGAGCCCATCGCCGTCATCGGCTCGGCATGCAGATTCCCAGGCG"
+
+
+def test_scanner_flow():
+    # lightmotif-py tests/test_scanner.py::TestScanner::test_scan
+    motif = lightmotif.create(["GTTGACCTTATCAAC", "GTTGATCCAGTCAAC"])
+    frequencies = motif.counts.normalize(0.1)
+    pssm = frequencies.log_odds()
+    seq = lightmotif.stripe(SEQUENCE)
+
+    hits = list(lightmotif.scan(pssm, seq))
+    assert len(hits) == 0
+
+    hits = list(lightmotif.scan(pssm, seq, threshold=-10.0))
+    assert len(hits) == 3
+    hits.sort(key=lambda h: h.position)
+    assert hits[0].score == pytest.approx(-5.50167, abs=1e-5)
+    assert hits[1].score == pytest.approx(-6.4345555, abs=1e-5)
+    assert hits[2].score == pytest.approx(-8.961102, abs=1e-5)
+
+
+def test_sequence_flow():
+    # lightmotif-py tests/test_sequence.py::TestEncodedSequence
+    s1 = lightmotif.EncodedSequence("ATGC")
+    s2 = lightmotif.EncodedSequence("ATGCTTAGATAC")
+    A, C, T, G, N = range(5)
+    assert len(s1) == 4 and len(s2) == 12
+    assert [s1[i] for i in range(4)] == [A, T, G, C]
+    assert [s2[i] for i in range(7)] == [A, T, G, C, T, T, A]
+    with pytest.raises(IndexError):
+        _ = s1[10]
+
+
+def test_pvalue_ma0045():
+    # lightmotif-py tests/test_pvalue.py::TestMA0045
+    ma0045 = lightmotif.CountMatrix({
+        "A": [3, 7, 9, 3, 11, 11, 11, 3, 4, 3, 8, 8, 9, 9, 11, 2],
+        "C": [5, 0, 1, 6, 0, 0, 0, 3, 1, 4, 5, 1, 0, 5, 0, 7],
+        "T": [2, 4, 3, 1, 0, 1, 1, 6, 1, 1, 0, 1, 3, 0, 0, 5],
+        "G": [4, 3, 1, 4, 3, 2, 2, 2, 8, 6, 1, 4, 2, 0, 3, 0],
+        "N": [0] * 16,
+    }).normalize(pseudocount=0.25).log_odds()
+
+    assert ma0045.pvalue(8.7708, method="tfmpvalue") == pytest.approx(
+        0.00032910, abs=1e-5)
+    assert ma0045.pvalue(8.7708, method="meme") == pytest.approx(
+        0.00032910, abs=1e-5)
+    assert ma0045.score(0.00033, method="tfmpvalue") == pytest.approx(
+        8.756855, abs=1e-5)
+    assert ma0045.score(0.00033, method="meme") == pytest.approx(
+        8.765, abs=1e-3)
