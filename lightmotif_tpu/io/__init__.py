@@ -52,7 +52,13 @@ def _open_text(file):
     if isinstance(file, (str, os.PathLike)):
         raw = open(file, "rb")
     elif isinstance(file, bytes):
-        raw = _stdio.BytesIO(file)
+        # the reference treats bytes as an fsencoded path
+        # (io.rs:206-244); fall back to in-memory content when no such
+        # file exists (historical convenience)
+        if os.path.exists(file):
+            raw = open(file, "rb")
+        else:
+            raw = _stdio.BytesIO(file)
     elif hasattr(file, "read"):
         probe = file.read(0)
         if isinstance(probe, str):

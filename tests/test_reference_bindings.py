@@ -61,3 +61,27 @@ def test_pvalue_ma0045():
         8.756855, abs=1e-5)
     assert ma0045.score(0.00033, method="meme") == pytest.approx(
         8.765, abs=1e-3)
+
+
+def test_load_flows(tmp_path):
+    # lightmotif-py tests/test_load.py (jaspar16 flavor)
+    import io as _io
+    import os
+    import pathlib
+
+    text = (
+        ">MA0001.3 AGL3\n"
+        "A  [ 0  3 79 40 66 48 65 11 65  0 ]\n"
+        "C  [94 75  4  3  1  2  5  2  3  3 ]\n"
+        "G  [ 1  0  3  4  1  0  5  3 28 88 ]\n"
+        "T  [ 2 19 11 50 29 47 22 81  1  6 ]\n"
+    ).encode()
+
+    motifs = list(lightmotif.load(_io.BytesIO(text), "jaspar16"))
+    assert len(motifs) == 1 and motifs[0].name == "MA0001.3"
+
+    p = tmp_path / "m.jaspar"
+    p.write_bytes(text)
+    assert list(lightmotif.load(str(p), "jaspar16"))[0].name == "MA0001.3"
+    assert list(lightmotif.load(os.fsencode(str(p)), "jaspar16"))[0].name == "MA0001.3"
+    assert list(lightmotif.load(pathlib.Path(p), "jaspar16"))[0].name == "MA0001.3"
