@@ -107,6 +107,7 @@ class Scanner:
         self._dseq = _as_device_seq(seq)
         self._scan_data = None  # lazily-built scan buffer (halo-padded)
         self._dense = False  # sticky dense-compaction mode
+        self._t_scaled_override = None  # used by max()
 
     # -- internals ----------------------------------------------------------
 
@@ -129,7 +130,9 @@ class Scanner:
 
         pssm_dev = jnp.asarray(np.asarray(self.pssm.data, dtype=np.float32))
         dm_dev = jnp.asarray(np.asarray(self.dm.data, dtype=np.uint8))
-        t_scaled = np.int32(self.dm.scale(self.threshold))
+        t_scaled = getattr(self, "_t_scaled_override", None)
+        if t_scaled is None:
+            t_scaled = np.int32(self.dm.scale(self.threshold))
 
         from .ops import kernels
 
@@ -197,15 +200,44 @@ class Scanner:
         return list(self)
 
     def max(self):
-        """Best hit at or above the threshold; ties resolve to the
-        larger position (``scan.rs:200-249``)."""
+        """Best hit among the discrete candidates; ties resolve to the
+        larger position (``scan.rs:200-249``).
+
+        Parity note: like the reference, the returned hit's exact f32
+        score may be *below* the threshold -- candidacy is decided by
+        the over-estimating discrete filter, and the best exact score
+        among candidates wins.
+        """
+        saved = self.threshold
         best = None
-        for positions, scores in self._scan_segments():
-            i = int(np.lexsort((positions, scores))[-1])
-            cand = Hit(int(positions[i]), float(scores[i]))
-            if best is None or cand > best:
-                best = cand
+        try:
+            # keep every discrete candidate: the f32 keep-filter uses
+            # -inf while the u8 cutoff still comes from the threshold
+            self.threshold = -np.inf
+
+            import jax
+
+            # _scan_segments derives t_scaled from self.threshold; do it
+            # manually so the discrete cutoff stays at the real threshold
+            t_scaled = np.int32(self.dm.scale(saved))
+            for positions, scores in self._scan_segments_raw(t_scaled):
+                if positions.size:
+                    i = int(np.lexsort((positions, scores))[-1])
+                    cand = Hit(int(positions[i]), float(scores[i]))
+                    if best is None or cand > best:
+                        best = cand
+        finally:
+            self.threshold = saved
         return best
+
+    def _scan_segments_raw(self, t_scaled):
+        """Like ``_scan_segments`` but with an explicit discrete cutoff
+        (used by :meth:`max`, where the f32 filter is disabled)."""
+        self._t_scaled_override = t_scaled
+        try:
+            yield from self._scan_segments()
+        finally:
+            self._t_scaled_override = None
 
 
 class MultiHit(Hit):

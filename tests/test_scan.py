@@ -127,3 +127,33 @@ def test_scanner_with_wildcards():
         if s >= np.float32(threshold)
     }
     assert got == want
+
+
+def test_max_returns_best_discrete_candidate_below_threshold():
+    """Reference parity: Scanner::max can return a hit whose exact f32
+    score is below the threshold when only discrete candidates exist
+    (scan.rs:200-249 sets `best` without re-checking the threshold)."""
+    pssm = build_pssm()
+    seq = EncodedSequence.encode(SEQUENCE)
+    host = pssm.score_host(seq)
+    best_pos = int(np.where(host == host.max())[0][-1])
+    # threshold above every exact score: iteration yields nothing...
+    t = float(host.max()) + 0.5
+    assert Scanner(pssm, seq, threshold=t).collect() == []
+    hit = Scanner(pssm, seq, threshold=t).max()
+    # ...but max() may still return the best discrete candidate, which
+    # is the global argmax when the quantized score passes the cutoff
+    dm = pssm.to_discrete()
+    if dm.score_position(seq, best_pos) >= dm.scale(t):
+        assert hit is not None
+        assert hit.position == best_pos
+        assert hit.score == host.max()
+
+
+def test_max_matches_global_argmax_at_low_threshold():
+    pssm = build_pssm()
+    seq = EncodedSequence.encode(SEQUENCE)
+    host = pssm.score_host(seq)
+    hit = Scanner(pssm, seq, threshold=-100.0).max()
+    assert hit.score == host.max()
+    assert hit.position == int(np.where(host == host.max())[0][-1])
