@@ -122,17 +122,22 @@ def _scan(pssm, seq, threshold, args):
     return scanner.collect()
 
 
-def _scan_all(motifs, seq, args):
-    """Yield (job, strand, hit) for every motif/strand over one sequence.
-
-    With multiple motifs (and no mesh) all (motif, strand) matrices scan
-    in a single fused device pass (:class:`MultiScanner`)."""
+def _build_strands(motifs, args):
     strands = []
     for job in motifs:
         if args.direct:
             strands.append((job, "+", job.pssm))
         if job.reverse is not None:
             strands.append((job, "-", job.reverse))
+    return strands
+
+
+def _scan_all(motifs, seq, args):
+    """Yield (job, strand, hit) for every motif/strand over one sequence.
+
+    With multiple motifs (and no mesh) all (motif, strand) matrices scan
+    in a single fused device pass (:class:`MultiScanner`)."""
+    strands = _build_strands(motifs, args)
     if len(strands) <= 1:
         for job, strand, pssm in strands:
             for hit in _scan(pssm, seq, job.threshold, args):
@@ -212,39 +217,48 @@ def main(argv=None) -> int:
         out.write(
             "seq_index\tseq_name\tmotif_index\tmotif_name\tpos\tstrand\tscore\tpvalue\n"
         )
-        records = list(read_fasta(args.sequences))
-        seqs = [
-            EncodedSequence.encode_lossy(r.sequence, alphabet)
-            for r in records
-        ]
-        total = sum(len(s) for s in seqs)
-        # many small records batch into one device pass (per-record
-        # dispatch latency would dominate otherwise)
-        if (len(records) > 8 and total < (32 << 20) and not args.mesh
-                and motifs):
-            strands = []
-            for job in motifs:
-                if args.direct:
-                    strands.append((job, "+", job.pssm))
-                if job.reverse is not None:
-                    strands.append((job, "-", job.reverse))
+        strands = _build_strands(motifs, args)
+
+        # Buffer records up to a size bound: many small records batch
+        # into one device pass (per-record dispatch latency dominates
+        # otherwise); oversized inputs stream record by record.
+        reader = iter(read_fasta(args.sequences))
+        buffered = []
+        total = 0
+        overflowed = False
+        for record in reader:
+            seq = EncodedSequence.encode_lossy(record.sequence, alphabet)
+            buffered.append((record, seq))
+            total += len(seq)
+            if total >= (32 << 20):
+                overflowed = True
+                break
+
+        si = 0
+        if (not overflowed and len(buffered) > 8 and strands
+                and not args.mesh):
             from .batch import MultiBatchScanner
 
             per_record = MultiBatchScanner(
                 [p for _, _, p in strands],
-                seqs,
+                [s for _, s in buffered],
                 [job.threshold for job, _, _ in strands],
             ).collect()
-            for si, (record, hits) in enumerate(zip(records, per_record)):
+            for (record, _), hits in zip(buffered, per_record):
                 rows = [
                     (strands[h.motif][0], strands[h.motif][1], h)
                     for h in hits
                 ]
                 write_hits(si, record.name, rows)
+                si += 1
         else:
-            for si, (record, seq) in enumerate(zip(records, seqs)):
-                write_hits(si, record.name,
-                           _scan_all(motifs, seq, args))
+            for record, seq in buffered:
+                write_hits(si, record.name, _scan_all(motifs, seq, args))
+                si += 1
+            for record in reader:  # stream the rest
+                seq = EncodedSequence.encode_lossy(record.sequence, alphabet)
+                write_hits(si, record.name, _scan_all(motifs, seq, args))
+                si += 1
     finally:
         if out is not sys.stdout:
             out.close()

@@ -52,13 +52,13 @@ def _open_text(file):
     if isinstance(file, (str, os.PathLike)):
         raw = open(file, "rb")
     elif isinstance(file, bytes):
-        # the reference treats bytes as an fsencoded path
-        # (io.rs:206-244); fall back to in-memory content when no such
-        # file exists (historical convenience)
-        if os.path.exists(file):
-            raw = open(file, "rb")
-        else:
+        # the reference treats bytes as an fsencoded path (io.rs:206-244);
+        # raw motif text (which always contains newlines) is accepted as
+        # in-memory content for convenience
+        if b"\n" in file or b"\r" in file:
             raw = _stdio.BytesIO(file)
+        else:
+            raw = open(file, "rb")  # raises FileNotFoundError like the ref
     elif hasattr(file, "read"):
         probe = file.read(0)
         if isinstance(probe, str):

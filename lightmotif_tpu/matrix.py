@@ -119,11 +119,12 @@ class CountMatrix(_MatrixBase):
 
     __slots__ = ("n",)
 
-    def __init__(self, alphabet: Alphabet | dict, data=None, n: int | None = None):
+    def __init__(self, alphabet: Alphabet | dict, data=None,
+                 n: int | None = None, *, protein: bool = False):
         if isinstance(alphabet, dict):
             # reference Python constructor takes a symbol -> counts dict
             # (lightmotif-py/lightmotif/lib.rs:408-460)
-            other = CountMatrix.from_dict(alphabet)
+            other = CountMatrix.from_dict(alphabet, protein=protein)
             alphabet, data, n = other.alphabet, other.data, other.n
         arr = np.asarray(data, dtype=np.uint32)
         if arr.ndim != 2 or arr.shape[1] != alphabet.size:

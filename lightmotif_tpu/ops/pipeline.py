@@ -159,7 +159,9 @@ class Pipeline:
             score = xla_ops.score_f32
 
         def fn(seq, pssm):
-            scores = score(seq, pssm, n_scores)
+            # slice off the -inf padding so an all--inf score vector
+            # still argmaxes to the last VALID window (tie rule)
+            scores = score(seq, pssm, n_scores)[:n_scores]
             return xla_ops.max_last(scores), xla_ops.argmax_last(scores)
 
         return jax.jit(fn)

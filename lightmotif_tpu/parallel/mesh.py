@@ -408,7 +408,21 @@ class ShardedScanner:
         return [Hit(int(p), float(s)) for p, s in zip(positions[order], scores[order])]
 
     def max(self):
+        """Best exact hit among discrete candidates (same semantics as
+        :meth:`lightmotif_tpu.scanner.Scanner.max`: the returned score
+        may be below the threshold, ``scan.rs:200-249``)."""
         from ..scanner import Hit
 
-        hits = self.collect()
-        return max(hits, default=None)
+        positions, scores = sharded_scan(
+            np.asarray(self.pssm.data),
+            np.asarray(self.dm.data),
+            self.encoded,
+            -np.inf,  # keep every discrete candidate
+            self.dm.scale(self.threshold),
+            mesh=self.mesh,
+        )
+        if positions.size == 0:
+            return None
+        order = np.lexsort((positions, scores))
+        i = order[-1]
+        return Hit(int(positions[i]), float(scores[i]))

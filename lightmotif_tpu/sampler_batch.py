@@ -114,6 +114,11 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
         p_iota = jnp.arange(lv)[None, :]
         logits = jnp.where(p_iota < valid[z][:, None], logits, -jnp.inf)
         new = jax.random.categorical(ks, logits, axis=-1).astype(jnp.int32)
+        # all--inf weights: keep the previous start, like the host
+        # sampler (reference WeightedIndex::new Err, sampler.rs:528-538)
+        degenerate = ~jnp.isfinite(jnp.max(logits, axis=-1))
+        prev = starts[c_iota, z]
+        new = jnp.where(degenerate, prev, new)
         starts = starts.at[c_iota, z].set(new)
         return (starts, key), None
 

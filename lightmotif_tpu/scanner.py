@@ -207,6 +207,15 @@ class Scanner:
         score may be *below* the threshold -- candidacy is decided by
         the over-estimating discrete filter, and the best exact score
         among candidates wins.
+
+        Intentional deviation: the reference progressively RAISES its
+        discrete cutoff to the accepted candidate's quantized score
+        (``scan.rs:236``), which can skip a later candidate whose exact
+        score is higher but whose quantized score is lower (uneven
+        over-estimation).  This implementation keeps the cutoff at
+        ``scale(threshold)``, so it evaluates a superset of the
+        reference's candidates and always returns the true best exact
+        score among them.
         """
         saved = self.threshold
         best = None

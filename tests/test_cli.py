@@ -141,3 +141,23 @@ def test_batched_records_match_serial(tmp_path):
         return (int(c[0]), c[3], int(c[4]), c[5])
 
     assert sorted(rows_batch, key=key) == sorted(rows_serial, key=key)
+
+
+def test_no_direct_no_reverse_many_records(tmp_path):
+    """Empty strand set must not crash the batched path."""
+    import numpy as np
+
+    m = tmp_path / "motifs.jaspar16"
+    m.write_text(MATRICES)
+    rng = np.random.default_rng(3)
+    fasta = "".join(
+        f">r{i}\n" + "".join("ACGT"[j] for j in rng.integers(0, 4, 60)) + "\n"
+        for i in range(12)
+    )
+    s = tmp_path / "many.fa"
+    s.write_text(fasta)
+    o = tmp_path / "o.tsv"
+    rc = main(["-m", str(m), "--format", "jaspar16", "-s", str(s),
+               "-o", str(o), "-q", "--no-direct"])
+    assert rc == 0
+    assert open(o).read().splitlines()[1:] == []

@@ -278,3 +278,8 @@ def test_ref_jaspar_pfm():
         recs = list(read_jaspar16(fh))
     assert len(recs) == 1
     assert recs[0].id.startswith("MA0001")
+
+
+def test_load_missing_bytes_path_raises():
+    with pytest.raises(FileNotFoundError):
+        list(load(b"no_such_motif_file.jaspar"))

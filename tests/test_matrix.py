@@ -157,3 +157,11 @@ def test_entropy():
     assert len(ent) == 15
     assert ent[0] == pytest.approx(0.0)  # both patterns agree: G
     assert ent[5] == pytest.approx(1.0)  # C vs T: one bit
+
+
+def test_count_matrix_dict_protein():
+    from lightmotif_tpu import PROTEIN, CountMatrix
+
+    cm = CountMatrix({s: [1, 2] for s in PROTEIN.symbols[:-1]}, protein=True)
+    assert cm.alphabet is PROTEIN
+    assert len(cm) == 2

@@ -59,7 +59,7 @@ def repeat_time(make_op, r_lo: int = 2, r_hi: int = 10, trials: int = 5):
     # The slope is only trustworthy when the rep-span delta dwarfs the
     # tunnel's ~milliseconds of round-trip jitter; small spans produced
     # phantom 5x "speedups" in early measurements.
-    if 0 < results[r_hi] - results[r_lo] < 0.01:
+    if results[r_hi] - results[r_lo] < 0.01:
         import warnings
 
         warnings.warn(
