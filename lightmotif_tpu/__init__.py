@@ -35,7 +35,11 @@ from .scores import Scores, StripedScores
 from .sequence import EncodedSequence, StripedSequence
 from .scanner import Hit, Scanner
 from .sampler import Sampler, SamplerData
-from .sampler_batch import BatchSamplerResult, sample_oops_batch
+from .sampler_batch import (
+    BatchSamplerResult,
+    sample_oops_batch,
+    sample_zoops_batch,
+)
 from .tfmpvalue import TfmPvalue
 from .motif import (
     JasparMotif,
@@ -68,6 +72,7 @@ __all__ = [
     "Sampler",
     "SamplerData",
     "sample_oops_batch",
+    "sample_zoops_batch",
     "BatchSamplerResult",
     "TfmPvalue",
     "create",

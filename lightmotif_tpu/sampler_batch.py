@@ -3,17 +3,19 @@
 The reference sampler (``lightmotif/src/sampler.rs``) runs one chain;
 restarts (the standard remedy for Gibbs samplers stuck in local optima)
 multiply its wall time.  On TPU the chains are embarrassingly parallel:
-this module runs ``chains`` independent OOPS samplers inside a single
-``lax.scan``, vectorized over the chain axis, with the deterministic
-threefry PRNG.  One device program performs every restart at once; the
-host then ranks chains by information content and returns the best.
+this module runs ``chains`` independent samplers (OOPS or ZOOPS)
+inside a single ``lax.scan``, vectorized over the chain axis, with the
+deterministic threefry PRNG.  One device program performs every restart
+at once; the host then ranks chains by information content and returns
+the best.
 
 Each step mirrors the host sampler exactly (``sampler.py``): pick a
 hold-out sequence, rebuild counts/background from the rest, form the
 0.1-pseudocount log2-odds PSSM, score the hold-out at every valid
-start, and resample its start with weights ``2^(score/T)``.
-
-ZOOPS (data-dependent active sets) stays on the host sampler.
+start, and resample its start with weights ``2^(score/T)``.  ZOOPS
+chains additionally carry an active-set mask, seed-biased hold-outs
+during inertia, IC-gated inclusion, and patience-based convergence
+(frozen chains keep their state for the rest of the scan).
 """
 
 from __future__ import annotations
@@ -26,13 +28,13 @@ from .alphabet import DNA
 from .matrix import CountMatrix
 from .sequence import EncodedSequence
 
-__all__ = ["sample_oops_batch", "BatchSamplerResult"]
+__all__ = ["sample_oops_batch", "sample_zoops_batch", "BatchSamplerResult"]
 
 
 class BatchSamplerResult:
     """Final state of every chain plus the information-content ranking."""
 
-    __slots__ = ("starts", "counts", "information_content", "best", "alphabet")
+    __slots__ = ("starts", "counts", "information_content", "best", "alphabet", "active")
 
     def __init__(self, starts, counts, information_content, best, alphabet):
         self.starts = starts
@@ -40,6 +42,7 @@ class BatchSamplerResult:
         self.information_content = information_content
         self.best = best
         self.alphabet = alphabet
+        self.active = None
 
     def count_matrix(self, chain: int | None = None) -> CountMatrix:
         c = self.best if chain is None else chain
@@ -55,10 +58,13 @@ class BatchSamplerResult:
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("width", "steps", "chains", "k", "temperature"),
+    static_argnames=("width", "steps", "chains", "k", "temperature",
+                     "zoops", "seeds", "inertia", "patience"),
 )
 def _run_chains(seqs, valid, totals, key, width: int, steps: int,
-                chains: int, k: int, temperature: float):
+                chains: int, k: int, temperature: float,
+                zoops: bool = False, seeds: int = 0, inertia: int = 0,
+                patience: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -68,9 +74,19 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
     n_iota = jnp.arange(n)
     ln2 = np.float32(np.log(2.0))
 
-    key, k0 = jax.random.split(key)
+    key, k0, k1 = jax.random.split(key, 3)
     u = jax.random.uniform(k0, (chains, n))
     starts0 = (u * valid[None, :].astype(jnp.float32)).astype(jnp.int32)
+
+    if zoops:
+        # random seed subset per chain (sampler.rs:397-410)
+        order = jax.random.uniform(k1, (chains, n)).argsort(axis=-1)
+        rank = order.argsort(axis=-1)
+        seed_mask = rank < max(seeds, 1)
+        active0 = seed_mask
+    else:
+        seed_mask = jnp.ones((chains, n), jnp.bool_)
+        active0 = jnp.ones((chains, n), jnp.bool_)
 
     pseudo = jnp.where(jnp.arange(k) == k - 1, 0.0, 0.1).astype(jnp.float32)
 
@@ -85,21 +101,37 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
             - counts.sum(axis=1)  # [C, K]
         return counts, bgc
 
-    def step(carry, _):
-        starts, key = carry
-        key, kz, ks = jax.random.split(key, 3)
-        z = jax.random.randint(kz, (chains,), 0, n)
-        active = (n_iota[None, :] != z[:, None]).astype(jnp.float32)
-        counts, bgc = counts_of(starts, active)
-
+    def pssm_of(counts, bgc):
         bg = bgc / jnp.maximum(bgc.sum(-1, keepdims=True), 1.0)
-        fr = (counts + pseudo[None, None, :])
+        fr = counts + pseudo[None, None, :]
         fr = fr / fr.sum(-1, keepdims=True)
         pssm = jnp.where(
             bg[:, None, :] > 0,
             jnp.log2(fr / jnp.maximum(bg[:, None, :], 1e-30)),
             -jnp.inf,
         )  # [C, w, K]
+        ic = jnp.sum(jnp.where(jnp.isfinite(pssm), fr * pssm, 0.0),
+                     axis=(1, 2))
+        return pssm, ic
+
+    def step(carry, step_i):
+        starts, active, last_inc, converged, key = carry
+        key, kz, ks = jax.random.split(key, 3)
+
+        if zoops:
+            # seed-biased hold-out during inertia (sampler.rs:460-470)
+            zl = jnp.where(seed_mask, 0.0, -jnp.inf)
+            z_seed = jax.random.categorical(kz, zl, axis=-1)
+            z_any = jax.random.randint(kz, (chains,), 0, n)
+            z = jnp.where(step_i < inertia, z_seed, z_any)
+        else:
+            z = jax.random.randint(kz, (chains,), 0, n)
+
+        was_active = active[c_iota, z]
+        holdout = (n_iota[None, :] == z[:, None])
+        act_f = (active & ~holdout).astype(jnp.float32)
+        counts, bgc = counts_of(starts, act_f)
+        pssm, ic_without = pssm_of(counts, bgc)
 
         seqz = seqs[z]  # [C, Lp]
         acc = jnp.zeros((chains, lv), jnp.float32)
@@ -118,15 +150,35 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
         # sampler (reference WeightedIndex::new Err, sampler.rs:528-538)
         degenerate = ~jnp.isfinite(jnp.max(logits, axis=-1))
         prev = starts[c_iota, z]
-        new = jnp.where(degenerate, prev, new)
+        new = jnp.where(degenerate | converged, prev, new)
         starts = starts.at[c_iota, z].set(new)
-        return (starts, key), None
 
-    (starts, key), _ = jax.lax.scan(
-        step, (starts0, key), None, length=steps)
+        if zoops:
+            # accept a newly-included sequence only if the information
+            # content improves (sampler.rs:550-595)
+            act_with = active.at[c_iota, z].set(True).astype(jnp.float32)
+            counts2, bgc2 = counts_of(starts, act_with)
+            _, ic_with = pssm_of(counts2, bgc2)
+            accept = was_active | (ic_with >= ic_without)
+            accept = accept & ~converged
+            new_active = active.at[c_iota, z].set(
+                jnp.where(converged, was_active, accept))
+            inc_now = (~was_active) & accept
+            last_inc = jnp.where(inc_now, step_i, last_inc)
+            # convergence is only evaluated when an inactive sequence
+            # was held out, like the host sampler (sampler.rs:586-593)
+            converged = converged | (
+                (~was_active) & (step_i - last_inc > patience))
+            active = new_active
+        return (starts, active, last_inc, converged, key), None
 
-    # final counts over ALL sequences + per-chain information content
-    counts, bgc = counts_of(starts, jnp.ones((chains, n), jnp.float32))
+    carry0 = (starts0, active0, jnp.zeros(chains, jnp.int32),
+              jnp.zeros(chains, jnp.bool_), key)
+    (starts, active, _, converged, key), _ = jax.lax.scan(
+        step, carry0, jnp.arange(steps))
+
+    # final counts over the active set + per-chain information content
+    counts, bgc = counts_of(starts, active.astype(jnp.float32))
     fr = counts + pseudo[None, None, :]
     fr = fr / fr.sum(-1, keepdims=True)
     bg = bgc / jnp.maximum(bgc.sum(-1, keepdims=True), 1.0)
@@ -136,24 +188,11 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
         0.0,
     )
     ic = term.sum(axis=(1, 2))
-    return starts, counts, ic
+    return starts, counts, ic, active
 
 
-def sample_oops_batch(
-    sequences,
-    width: int = 10,
-    steps: int = 100,
-    chains: int = 64,
-    seed: int = 0,
-    temperature: float = 1.0,
-    alphabet=DNA,
-) -> BatchSamplerResult:
-    """Run ``chains`` independent OOPS Gibbs chains in one device scan.
-
-    Returns a :class:`BatchSamplerResult`; ``result.best`` is the chain
-    with the highest information content, ``result.pssm()`` its motif.
-    Deterministic for a given ``seed`` (threefry PRNG).
-    """
+def _sample_batch(sequences, width, steps, chains, seed, temperature,
+                  alphabet, zoops, seeds, inertia, patience):
     import jax
     import jax.numpy as jnp
 
@@ -175,7 +214,7 @@ def sample_oops_batch(
         totals[i] = np.bincount(s.data, minlength=k).astype(np.float32)
         valid[i] = len(s) - width + 1
 
-    starts, counts, ic = _run_chains(
+    starts, counts, ic, active = _run_chains(
         jnp.asarray(mat),
         jnp.asarray(valid),
         jnp.asarray(totals),
@@ -185,9 +224,66 @@ def sample_oops_batch(
         chains,
         k,
         float(temperature),
+        zoops,
+        seeds,
+        inertia,
+        patience,
     )
     starts = np.asarray(jax.device_get(starts))
     counts = np.asarray(jax.device_get(counts))
     ic = np.asarray(jax.device_get(ic))
     best = int(np.argmax(ic))
-    return BatchSamplerResult(starts, counts, ic, best, alphabet)
+    res = BatchSamplerResult(starts, counts, ic, best, alphabet)
+    res_active = np.asarray(jax.device_get(active))
+    res.active = res_active
+    return res
+
+
+def sample_oops_batch(
+    sequences,
+    width: int = 10,
+    steps: int = 100,
+    chains: int = 64,
+    seed: int = 0,
+    temperature: float = 1.0,
+    alphabet=DNA,
+) -> BatchSamplerResult:
+    """Run ``chains`` independent OOPS Gibbs chains in one device scan.
+
+    Returns a :class:`BatchSamplerResult`; ``result.best`` is the chain
+    with the highest information content, ``result.pssm()`` its motif.
+    Deterministic for a given ``seed`` (threefry PRNG).
+    """
+    return _sample_batch(sequences, width, steps, chains, seed,
+                         temperature, alphabet, False, 0, 0, 0)
+
+
+def sample_zoops_batch(
+    sequences,
+    width: int = 10,
+    steps: int = 100,
+    chains: int = 64,
+    seed: int = 0,
+    temperature: float = 1.0,
+    seeds: int = 2,
+    inertia: int | None = None,
+    patience: int | None = None,
+    alphabet=DNA,
+) -> BatchSamplerResult:
+    """Batched ZOOPS chains (zero-or-one occurrence per sequence).
+
+    Mirrors the host sampler's zoops rules per chain: a random seed
+    subset starts active, hold-outs are seed-biased for ``inertia``
+    steps, a newly-included sequence is kept only if the information
+    content improves, and a chain freezes after ``patience`` steps
+    without an inclusion.  ``result.active`` marks each chain's final
+    active set.
+    """
+    n = len(list(sequences)) if not hasattr(sequences, "__len__") else len(sequences)
+    if inertia is None:
+        inertia = seeds * 50 if seeds else 0
+    if patience is None:
+        patience = n
+    return _sample_batch(sequences, width, steps, chains, seed,
+                         temperature, alphabet, True, seeds, int(inertia),
+                         int(patience))

@@ -151,3 +151,26 @@ def test_batched_oops_recovers_planted_motif():
     # per-chain accessors
     pssm = res.pssm()
     assert len(pssm) == 10
+
+
+def test_batched_zoops_includes_planted_sequences():
+    from lightmotif_tpu.sampler_batch import sample_zoops_batch
+
+    rng = np.random.default_rng(5)
+    motif = "GTTGACCTAT"
+    seqs = []
+    for i in range(16):
+        s = list("".join("ACGT"[j] for j in rng.integers(0, 4, size=150)))
+        pos = int(rng.integers(0, 140))
+        s[pos:pos + 10] = list(motif)
+        seqs.append("".join(s))
+
+    res = sample_zoops_batch(seqs, width=10, steps=300, chains=32,
+                             seed=2, seeds=4)
+    b = res.best
+    assert int(res.active[b].sum()) >= 12  # most sequences included
+    consensus = res.count_matrix().consensus()
+    assert sum(a == b_ for a, b_ in zip(consensus, motif)) >= 8, consensus
+    res2 = sample_zoops_batch(seqs, width=10, steps=300, chains=32,
+                              seed=2, seeds=4)
+    assert np.array_equal(res.starts, res2.starts)
