@@ -109,17 +109,36 @@ def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk,
             gidx,
             jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
         ])
-        return (
-            jnp.stack([count, n_kept, valid.astype(jnp.int32)])[None],
-            packed[None],
-        )
+        # replicate the counters to every shard so every HOST PROCESS
+        # of a multi-host mesh sees them and takes identical retry
+        # decisions (hit payloads stay sharded)
+        counts_all = jax.lax.all_gather(
+            jnp.stack([count, n_kept, valid.astype(jnp.int32)]), "genome")
+        return counts_all, packed[None]
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P("genome"), P(), P(), P(), P()),
-        out_specs=(P("genome"), P("genome")),
+        out_specs=(P(), P("genome")),
+        check_vma=False,  # counts are replicated by the all_gather
     )(shards, dm, pssm, t_scaled, threshold)
+
+
+def _put_sharded(shards: np.ndarray, mesh: Mesh):
+    """Place per-shard rows on the mesh; works on multi-host meshes
+    where each process may only address a subset of the devices."""
+    sharding = NamedSharding(mesh, P("genome"))
+    if jax.process_count() == 1:
+        return jax.device_put(shards, sharding)
+    me = jax.process_index()
+    rows = [
+        i for i, d in enumerate(mesh.devices.flat)
+        if d.process_index == me
+    ]
+    local = np.ascontiguousarray(shards[rows])
+    return jax.make_array_from_process_local_data(
+        sharding, local, shards.shape)
 
 
 class _MeshHolder:
@@ -158,8 +177,7 @@ def sharded_scan(
     wildcard = pssm_data.shape[1] - 1
     shards, chunk, n_scores = shard_sequence(encoded, n_dev, m, wildcard)
 
-    sharding = NamedSharding(mesh, P("genome"))
-    shards_dev = jax.device_put(shards, sharding)
+    shards_dev = _put_sharded(shards, mesh)
     dm_dev = jnp.asarray(dm_data)
     pssm_dev = jnp.asarray(pssm_data.astype(np.float32))
     dense = False
@@ -188,16 +206,25 @@ def sharded_scan(
         dense = True
         if worst > cap:
             cap = max(cap, 1 << (worst - 1).bit_length())
+    # extract hits from the shards THIS PROCESS can address (all of
+    # them on a single host; its own subset on a multi-host mesh --
+    # each process emits its shards' hits, like the reference CLI's
+    # per-worker output)
     parts_pos, parts_sc = [], []
-    for d in range(n_dev):
+    for shard in packed.addressable_shards:
+        d = shard.index[0].start or 0
         n_kept = int(counts[d, 1])
         if n_kept:
-            arr = np.asarray(jax.device_get(packed[d, :, :n_kept]))
+            arr = np.asarray(shard.data)[0, :, :n_kept]
             parts_pos.append(arr[0])
             parts_sc.append(arr[1].view(np.float32))
     if not parts_pos:
         return np.zeros(0, np.int32), np.zeros(0, np.float32)
-    return np.concatenate(parts_pos), np.concatenate(parts_sc)
+    order = np.argsort(np.concatenate(parts_pos), kind="stable")
+    return (
+        np.concatenate(parts_pos)[order],
+        np.concatenate(parts_sc)[order],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "n_scores", "mesh_holder"))

@@ -1,0 +1,110 @@
+"""True multi-process (DCN-style) scan validation.
+
+Launches TWO separate Python processes, each owning 4 virtual CPU
+devices, joined with ``jax.distributed`` into one 8-device mesh -- the
+same topology as two TPU hosts on DCN.  Each process runs
+``sharded_scan`` SPMD and emits the hits of its own genome shards; the
+test merges them and compares against a single-process scan.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import json, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    jax.distributed.initialize("localhost:" + port, num_processes=2,
+                               process_id=pid)
+    import numpy as np
+    sys.path.insert(0, "@REPO@")
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.parallel import make_genome_mesh, sharded_scan
+
+    cm = CountMatrix.from_sequences(
+        EncodedSequence.encode(p)
+        for p in ["GTTGACCTTATCAAC", "GTTGATCCAGTCAAC"])
+    pssm = cm.to_freq(0.1).to_weight(None).to_scoring()
+    dm = pssm.to_discrete()
+    rng = np.random.default_rng(42)
+    genome = rng.integers(0, 4, size=120_000, dtype=np.int8)
+    mesh = make_genome_mesh()
+    assert len(jax.devices()) == 8, jax.devices()
+    positions, scores = sharded_scan(
+        np.asarray(pssm.data), np.asarray(dm.data), genome,
+        threshold=-5.0, t_scaled=dm.scale(-5.0), mesh=mesh)
+    print("RESULT" + json.dumps({
+        "pid": pid,
+        "hits": [[int(p), float(s)] for p, s in zip(positions, scores)],
+    }), flush=True)
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_scan_matches_single():
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    code = _WORKER.replace("@REPO@", repo)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers configure their own devices
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(i), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    hits = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out[-2000:]
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                rec = json.loads(line[len("RESULT"):])
+                hits[rec["pid"]] = rec["hits"]
+    assert set(hits) == {0, 1}
+
+    # single-process oracle
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.scanner import Scanner
+
+    cm = CountMatrix.from_sequences(
+        EncodedSequence.encode(p)
+        for p in ["GTTGACCTTATCAAC", "GTTGATCCAGTCAAC"])
+    pssm = cm.to_freq(0.1).to_weight(None).to_scoring()
+    rng = np.random.default_rng(42)
+    genome = rng.integers(0, 4, size=120_000, dtype=np.int8)
+    seq = EncodedSequence(genome.astype(np.uint8))
+    want = sorted(
+        (h.position, np.float32(h.score))
+        for h in Scanner(pssm, seq, threshold=-5.0)
+    )
+    got = sorted(
+        (int(p), np.float32(s))
+        for rec in hits.values()
+        for p, s in rec
+    )
+    assert got == want
