@@ -251,7 +251,8 @@ def _sharded_argmax_impl(shards, pssm, chunk, n_scores, mesh_holder):
         local,
         mesh=mesh,
         in_specs=(P("genome"), P()),
-        out_specs=(P("genome"), P("genome")),
+        out_specs=(P(), P()),
+        check_vma=False,  # pmax-merged values are replicated
     )(shards, pssm)
 
 
@@ -266,8 +267,7 @@ def sharded_argmax(
     m = pssm_data.shape[0]
     wildcard = pssm_data.shape[1] - 1
     shards, chunk, n_scores = shard_sequence(encoded, n_dev, m, wildcard)
-    sharding = NamedSharding(mesh, P("genome"))
-    shards_dev = jax.device_put(shards, sharding)
+    shards_dev = _put_sharded(shards, mesh)
     gmax, garg = _sharded_argmax_impl(
         shards_dev,
         jnp.asarray(pssm_data.astype(np.float32)),
@@ -296,13 +296,16 @@ def _sharded_multi_impl(shards, filters, pssms, t_eff, thresholds, n_valid_g,
             seq, nv, filters, pssms, t_eff, thresholds, cap, m_max, k,
             dense)
         packed = packed.at[0].add(d * chunk)
-        return counts[None], packed[None]
+        # replicate counters so every host process of a multi-host mesh
+        # takes identical retry decisions
+        counts_all = jax.lax.all_gather(counts, "genome")
+        return counts_all, packed[None]
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P("genome"), P(), P(), P(), P(), P()),
-        out_specs=(P("genome"), P("genome")),
+        out_specs=(P(), P("genome")),
         check_vma=False,  # pallas_call output has no vma annotation
     )(shards, filters, pssms, t_eff, thresholds, n_valid_g)
 
@@ -367,8 +370,7 @@ def sharded_multi_scan(
     n_valid_g = np.zeros((1, m_pad), np.int32)
     n_valid_g[0, :mcount] = np.maximum(n - lengths + 1, 0)
 
-    sharding = NamedSharding(mesh, P("genome"))
-    shards_dev = jax.device_put(shards, sharding)
+    shards_dev = _put_sharded(shards, mesh)
     args = (
         jnp.asarray(filters),
         jnp.asarray(pssm_stack),
@@ -393,10 +395,11 @@ def sharded_multi_scan(
             cap = max(cap, 1 << (worst - 1).bit_length())
 
     hits = []
-    for d in range(n_dev):
+    for shard in packed.addressable_shards:
+        d = shard.index[0].start or 0
         n_kept = int(counts[d, 1])
         if n_kept:
-            arr = np.asarray(jax.device_get(packed[d, :, :n_kept]))
+            arr = np.asarray(shard.data)[0, :, :n_kept]
             for p, mo, sb in zip(arr[0], arr[1],
                                  arr[2].view(np.float32)):
                 hits.append(MultiHit(int(mo), int(p), float(sb)))

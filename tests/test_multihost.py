@@ -43,9 +43,22 @@ _WORKER = textwrap.dedent(
     positions, scores = sharded_scan(
         np.asarray(pssm.data), np.asarray(dm.data), genome,
         threshold=-5.0, t_scaled=dm.scale(-5.0), mesh=mesh)
+
+    from lightmotif_tpu.parallel import sharded_argmax, sharded_multi_scan
+    gmax, garg = sharded_argmax(np.asarray(pssm.data), genome, mesh=mesh)
+
+    from lightmotif_tpu.ops import kernels
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    mhits = sharded_multi_scan(
+        [pssm, pssm.reverse_complement()], genome[:30_000], -5.0,
+        mesh=mesh)
+
     print("RESULT" + json.dumps({
         "pid": pid,
         "hits": [[int(p), float(s)] for p, s in zip(positions, scores)],
+        "argmax": [float(gmax), int(garg)],
+        "mhits": [[h.motif, h.position, float(h.score)] for h in mhits],
     }), flush=True)
     """
 )
@@ -79,12 +92,12 @@ def test_two_process_scan_matches_single():
     ]
     hits = {}
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=420)
         assert p.returncode == 0, out[-2000:]
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 rec = json.loads(line[len("RESULT"):])
-                hits[rec["pid"]] = rec["hits"]
+                hits[rec["pid"]] = rec
     assert set(hits) == {0, 1}
 
     # single-process oracle
@@ -105,6 +118,30 @@ def test_two_process_scan_matches_single():
     got = sorted(
         (int(p), np.float32(s))
         for rec in hits.values()
-        for p, s in rec
+        for p, s in rec["hits"]
     )
     assert got == want
+
+    # argmax replicated and correct on both processes
+    host = pssm.score_host(seq)
+    best = int(np.where(host == host.max())[0][-1])
+    for rec in hits.values():
+        assert rec["argmax"][1] == best
+        assert np.float32(rec["argmax"][0]) == np.float32(host.max())
+
+    # multi-scan: the union over processes matches a single-process run
+    from lightmotif_tpu.scanner import MultiScanner
+
+    want_m = sorted(
+        (h.motif, h.position, np.float32(h.score))
+        for h in MultiScanner(
+            [pssm, pssm.reverse_complement()],
+            EncodedSequence(genome[:30_000].astype(np.uint8)),
+            -5.0).collect()
+    )
+    got_m = sorted(
+        (int(m_), int(p), np.float32(s))
+        for rec in hits.values()
+        for m_, p, s in rec["mhits"]
+    )
+    assert got_m == want_m
