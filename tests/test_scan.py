@@ -157,3 +157,24 @@ def test_max_matches_global_argmax_at_low_threshold():
     hit = Scanner(pssm, seq, threshold=-100.0).max()
     assert hit.score == host.max()
     assert hit.position == int(np.where(host == host.max())[0][-1])
+
+
+def test_segment_size_sweep_consistency():
+    """Hit sets are identical for every segment size (the reference
+    sweeps Scanner block sizes {1..256}, tests/scan.rs:9-46)."""
+    rng = np.random.default_rng(8)
+    pssm = build_pssm()
+    seq = EncodedSequence(rng.integers(0, 4, size=200_000, dtype=np.uint8))
+    host = pssm.score_host(seq)
+    threshold = float(np.sort(host)[-50])
+    want = None
+    for block in (8192, 16384, 65536, 1 << 23):
+        got = sorted(
+            (h.position, np.float32(h.score))
+            for h in Scanner(pssm, seq, threshold=threshold,
+                             block_size=block)
+        )
+        if want is None:
+            want = got
+        assert got == want, block
+    assert len(want) >= 50
