@@ -85,3 +85,21 @@ def test_load_flows(tmp_path):
     assert list(lightmotif.load(str(p), "jaspar16"))[0].name == "MA0001.3"
     assert list(lightmotif.load(os.fsencode(str(p)), "jaspar16"))[0].name == "MA0001.3"
     assert list(lightmotif.load(pathlib.Path(p), "jaspar16"))[0].name == "MA0001.3"
+
+
+def test_rust_readme_flow():
+    # the reference README's Rust quick-start, verbatim shapes
+    # (README.md:55-90), with bit-equal scores
+    counts = lightmotif.CountMatrix.from_sequences(
+        lightmotif.EncodedSequence.encode(s)
+        for s in ["GTTGACCTTATCAAC", "GTTGATCCAGTCAAC"])
+    pssm = counts.to_freq(0.1).to_scoring(None)
+    encoded = lightmotif.EncodedSequence.encode(SEQUENCE)
+    striped = encoded.to_striped()
+    striped.configure(pssm)
+    scores = pssm.score(striped)
+    v = scores.unstripe()
+    assert np.float32(scores[0]) == np.float32(-23.07094)
+    assert np.float32(v[0]) == np.float32(-23.07094)
+    assert scores.argmax() == 18
+    assert scores.threshold(10.0) == []
