@@ -31,7 +31,7 @@ from .matrix import (
     WeightMatrix,
 )
 from .dist import ScoreDistribution
-from .scores import Scores, StripedScores
+from .scores import MatrixCoordinates, Scores, StripedScores
 from .sequence import EncodedSequence, StripedSequence
 from .scanner import Hit, Scanner
 from .sampler import Sampler, SamplerData
@@ -63,6 +63,7 @@ __all__ = [
     "ScoringMatrix",
     "DiscreteMatrix",
     "ScoreDistribution",
+    "MatrixCoordinates",
     "Scores",
     "StripedScores",
     "EncodedSequence",
@@ -88,11 +89,12 @@ __all__ = [
 ]
 
 
-def load(file, format: str = "jaspar16", protein: bool = False):
+def load(file=None, format: str = "jaspar16", protein: bool = False, *,
+         data=None):
     """Load motifs from a file (see :func:`lightmotif_tpu.io.load`)."""
     from .io import load as _load
 
-    return _load(file, format=format, protein=protein)
+    return _load(file, format=format, protein=protein, data=data)
 
 
 class Loader:

@@ -90,7 +90,8 @@ def _records(handle, format: str, alphabet):
     raise ValueError(f"unknown format {format!r}; expected one of {FORMATS}")
 
 
-def load(file, format: str = "jaspar16", protein: bool = False):
+def load(file=None, format: str = "jaspar16", protein: bool = False, *,
+         data=None):
     """Yield :class:`lightmotif_tpu.Motif` objects from a motif file.
 
     Each format produces its metadata-carrying subclass
@@ -98,9 +99,19 @@ def load(file, format: str = "jaspar16", protein: bool = False):
     / :class:`UniprobeMotif`).  Parity note: like the reference's
     ``load()``, matrices are converted with a **zero** pseudocount and
     the file's background if present (``io.rs:41-204``).
+
+    ``data`` passes in-memory motif text (str or bytes) explicitly,
+    bypassing the bytes-path-vs-content sniffing of ``file``.
     """
     from ..motif import JasparMotif, MemeMotif, TransfacMotif, UniprobeMotif
 
+    if data is not None:
+        if file is not None:
+            raise TypeError("pass either file or data, not both")
+        file = _stdio.StringIO(data) if isinstance(data, str) \
+            else _stdio.BytesIO(data)
+    elif file is None:
+        raise TypeError("load() needs a file or data")
     alphabet = PROTEIN if protein else DNA
     handle = _open_text(file)
     for record in _records(handle, format, alphabet):

@@ -101,14 +101,18 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
 
     ``pssms``: f32 ``[M, m_max, K]`` (zero-padded rows add 0.0 exactly);
     sequential j-order adds preserve reference parity.
+
+    Indexing is clipped per motif row, so any position valid for its
+    *own* motif (``p <= lp - m_i``) scores exactly even when
+    ``p > lp - m_max``: a shorter motif's zero-padded rows contribute
+    0.0 whatever symbol the clipped index reads.
     """
     m_max = pssms.shape[1]
     k = pssms.shape[2]
     lp = seq.shape[0]
-    safe = jnp.clip(positions, 0, lp - m_max)
     acc = jnp.zeros(positions.shape, jnp.float32)
     for j in range(m_max):
-        sym = seq[safe + j].astype(jnp.int32)
+        sym = seq[jnp.clip(positions + j, 0, lp - 1)].astype(jnp.int32)
         row = pssms[motif_ids, j]  # [cap, K]
         val = row[:, k - 1]
         for s in range(k - 2, -1, -1):

@@ -335,10 +335,13 @@ def sharded_multi_scan(
         [np.asarray(p.data, np.float32) for p in pssms], k)
     m_max = int(lengths.max())
     if not multi_kernel.supports_fused(m_max, k, mcount):
+        # quote the same limits supports_fused enforces for this K
+        lanes = multi_kernel._lanes_for(min(k, multi_kernel.LANES_PER_ROW_WIDE))
+        max_m = multi_kernel.MAX_BLOCKS * (multi_kernel.MAX_MK // lanes)
         raise ValueError(
             "sharded multi-scan requires the fused prefilter "
-            f"(m <= {multi_kernel.MAX_M_ROWS}, K <= "
-            f"{multi_kernel.LANES_PER_ROW})")
+            f"(2 <= m <= {max_m} for K = {k}, "
+            f"K <= {multi_kernel.LANES_PER_ROW_WIDE}, TPU platform)")
     if np.isscalar(thresholds):
         thresholds = [float(thresholds)] * mcount
     thresholds = np.asarray(thresholds, np.float32)

@@ -116,13 +116,15 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
 
     def step(carry, step_i):
         starts, active, last_inc, converged, key = carry
-        key, kz, ks = jax.random.split(key, 3)
+        key, kz, kz2, ks = jax.random.split(key, 4)
 
         if zoops:
-            # seed-biased hold-out during inertia (sampler.rs:460-470)
+            # seed-biased hold-out during inertia (sampler.rs:460-470);
+            # the seed-biased and uniform draws use distinct subkeys so
+            # the two streams stay uncorrelated across the inertia edge
             zl = jnp.where(seed_mask, 0.0, -jnp.inf)
             z_seed = jax.random.categorical(kz, zl, axis=-1)
-            z_any = jax.random.randint(kz, (chains,), 0, n)
+            z_any = jax.random.randint(kz2, (chains,), 0, n)
             z = jnp.where(step_i < inertia, z_seed, z_any)
         else:
             z = jax.random.randint(kz, (chains,), 0, n)

@@ -140,6 +140,10 @@ class Scanner:
         # each device chunk carries one extra geometry block as halo
         # (covers the motif window and keeps the fast path engaged)
         unit = kernels.preferred_pad()
+        if m - 1 > unit:
+            raise ValueError(
+                f"motif length {m} exceeds the segment halo unit "
+                f"({unit}); windows would cross segment boundaries")
         seg = max(unit, min(self.block_size, xla_ops.pad_length(n_total, unit)))
         seg = xla_ops.pad_length(seg, unit)
         chunk_len = seg + unit

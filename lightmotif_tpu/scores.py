@@ -16,7 +16,31 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["Scores", "StripedScores"]
+__all__ = ["MatrixCoordinates", "Scores", "StripedScores"]
+
+
+class MatrixCoordinates:
+    """A (row, col) pair into a striped matrix view (reference
+    ``dense.rs:28-39``)."""
+
+    __slots__ = ("row", "col")
+
+    def __init__(self, row: int, col: int):
+        self.row = int(row)
+        self.col = int(col)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, MatrixCoordinates)
+            and other.row == self.row
+            and other.col == self.col
+        )
+
+    def __iter__(self):
+        return iter((self.row, self.col))
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"MatrixCoordinates(row={self.row}, col={self.col})"
 
 
 class Scores:
@@ -94,6 +118,12 @@ class StripedScores:
 
     def unstripe(self) -> Scores:
         return Scores(np.asarray(self._flat[: self.length]))
+
+    def offset(self, coords: MatrixCoordinates) -> int:
+        """Linear sequence position of striped-matrix coordinates
+        (reference ``scores.rs:153-157``: ``col * rows + row``)."""
+        rows = -(-self.length // self.columns) if self.length else 0
+        return coords.col * rows + coords.row
 
     # -- reductions -----------------------------------------------------------
 

@@ -283,3 +283,15 @@ def test_ref_jaspar_pfm():
 def test_load_missing_bytes_path_raises():
     with pytest.raises(FileNotFoundError):
         list(load(b"no_such_motif_file.jaspar"))
+
+
+def test_load_data_keyword():
+    """Explicit in-memory content via load(data=...) (str and bytes)."""
+    motifs = list(load(data=JASPAR16))
+    assert len(motifs) == 1 and motifs[0].name == "MA0001.3"
+    motifs = list(load(data=JASPAR16.encode()))
+    assert len(motifs) == 1 and motifs[0].name == "MA0001.3"
+    with pytest.raises(TypeError):
+        list(load(io.StringIO(JASPAR16), data=JASPAR16))
+    with pytest.raises(TypeError):
+        list(load())

@@ -153,3 +153,37 @@ def test_multi_fused_protein(genome):
     assert [(h.motif, h.position, h.score) for h in fused] == [
         (h.motif, h.position, h.score) for h in windows
     ]
+
+
+def test_rescore_multi_short_motif_tail():
+    """A short motif's window starting past lp - m_max still rescores
+    exactly (per-row clipped indexing; advisor round-1 finding)."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import multi
+
+    motifs = make_motifs()  # lengths differ
+    k = motifs[0].alphabet.size
+    stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    m_max = int(lengths.max())
+    short = int(np.argmin(lengths))
+    m_short = int(lengths[short])
+    assert m_short < m_max
+
+    rng = np.random.default_rng(7)
+    seq = EncodedSequence(rng.integers(0, 4, size=64, dtype=np.uint8))
+    lp = len(seq)
+    # positions valid for the short motif only (past lp - m_max)
+    positions = np.arange(lp - m_max + 1, lp - m_short + 1, dtype=np.int32)
+    got = np.asarray(multi.rescore_multi(
+        jnp.asarray(seq.data.astype(np.int8)),
+        jnp.asarray(stack),
+        jnp.asarray(positions),
+        jnp.full(positions.shape, short, dtype=np.int32),
+    ))
+    expected = np.asarray(
+        [motifs[short].score_position(seq, int(p)) for p in positions],
+        np.float32,
+    )
+    assert np.array_equal(got, expected)

@@ -160,3 +160,19 @@ def test_score_max_device(pipeline, pssm, seq):
     host = scores.copy()
     last = int(np.where(host == host.max())[0][-1])
     assert am == last
+
+
+def test_striped_scores_offset():
+    """offset(MatrixCoordinates) == col * rows + row (scores.rs:153-157),
+    consistent with the striped matrix() view."""
+    from lightmotif_tpu import MatrixCoordinates, StripedScores
+
+    data = np.arange(70, dtype=np.float32)
+    ss = StripedScores(data, length=70, columns=32)
+    mat = ss.matrix()  # [rows, cols]
+    rows = mat.shape[0]
+    for row, col in [(0, 0), (1, 0), (0, 1), (rows - 1, 2), (2, 31)]:
+        off = ss.offset(MatrixCoordinates(row, col))
+        assert off == col * rows + row
+        if off < 70:
+            assert mat[row, col] == data[off]
