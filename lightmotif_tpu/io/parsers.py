@@ -229,44 +229,150 @@ _NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
 
 
 class MemeFile:
-    """Parsed MEME file: version, alphabet info, background, records."""
+    """Parsed MEME file.
 
-    def __init__(self, version, background, records):
+    ``version`` / ``background`` come from the eagerly-parsed prologue;
+    motif records **stream lazily** (like the reference's nom reader,
+    ``lightmotif-io/src/meme/parse.rs``): iterating the file -- which is
+    what ``load()`` does -- reads one motif at a time in constant
+    memory, so multi-megabyte databases (JASPAR2024.meme) never
+    materialize.  Touching ``.records`` or ``len()`` drains the stream
+    into a list (don't mix with partial iteration)."""
+
+    def __init__(self, version, background, record_iter):
         self.version = version
         self.background = background
-        self.records = records
+        self._iter = record_iter
+        self._records = None
+
+    @property
+    def records(self):
+        if self._records is None:
+            self._records = list(self._iter)
+        return self._records
 
     def __iter__(self):
-        return iter(self.records)
+        if self._records is not None:
+            return iter(self._records)
+        return self._iter
 
     def __len__(self):
         return len(self.records)
 
 
+def _parse_meme_background(lines, alphabet):
+    """Symbol/frequency pairs, possibly spanning several lines; returns
+    (background, first unconsumed line)."""
+    toks = []
+    while True:
+        line = next(lines, None)
+        if line is None:
+            break
+        parts = line.strip().split()
+        if not parts or len(parts) % 2 != 0 or not _NUM.fullmatch(parts[1]):
+            break
+        toks.extend(parts)
+    freqs = np.zeros(alphabet.size, dtype=np.float32)
+    for sym, val in zip(toks[::2], toks[1::2]):
+        freqs[alphabet.symbols.index(sym)] = float(val)
+    return Background(alphabet, freqs, _validate=False), line
+
+
+def _meme_motifs(lines, first, alphabet, symbols, background):
+    """Lazily yield MemeRecords starting from the ``first`` line."""
+    from ..matrix import FrequencyMatrix
+
+    pending = first
+    while True:
+        line = pending if pending is not None else next(lines, None)
+        pending = None
+        if line is None:
+            return
+        m = _MEME_MOTIF.match(line.strip())
+        if not m:
+            continue
+        rec_id, rec_name = m.group(1), m.group(2)
+        alength = w = nsites = evalue = url = None
+        rows = []
+        # scan forward for the letter-probability matrix
+        for line2 in lines:
+            s2 = line2.strip()
+            lpm = _MEME_LPM.match(s2)
+            if lpm:
+                alength = int(lpm.group(1)) if lpm.group(1) else None
+                w = int(lpm.group(2)) if lpm.group(2) else None
+                nsites = int(float(lpm.group(3))) if lpm.group(3) else None
+                evalue = float(lpm.group(4)) if lpm.group(4) else None
+                break
+        else:
+            raise ParseError(f"motif {rec_id!r} has no matrix")
+        # matrix rows follow until a non-numeric line
+        for line2 in lines:
+            s2 = line2.strip()
+            if not s2:
+                if rows:
+                    break
+                continue
+            toks = s2.split()
+            if all(_NUM.fullmatch(t) for t in toks):
+                rows.append([float(t) for t in toks])
+                if w is not None and len(rows) == w:
+                    break
+            else:
+                pending = line2
+                break
+        if w is not None and len(rows) != w:
+            raise ParseError(
+                f"motif {rec_id!r}: truncated matrix "
+                f"({len(rows)} of {w} rows)"
+            )
+        # optional URL line
+        while True:
+            line2 = pending if pending is not None else next(lines, None)
+            pending = None
+            if line2 is None:
+                break
+            s2 = line2.strip()
+            if not s2:
+                continue
+            mu = _MEME_URL.match(s2)
+            if mu:
+                url = mu.group(1)
+            else:
+                pending = line2
+            break
+        k = alphabet.size
+        data = np.zeros((len(rows), k), dtype=np.float32)
+        for i, row in enumerate(rows):
+            if len(row) > k - 1 and len(row) != k:
+                raise ParseError(
+                    f"motif {rec_id!r}: row has {len(row)} values"
+                )
+            # MEME column order follows the declared ALPHABET=
+            # (ACGT for DNA), not our internal order
+            order = symbols or alphabet.symbols[: len(row)]
+            for sym, val in zip(order, row):
+                data[i, alphabet.symbols.index(sym)] = val
+        yield MemeRecord(
+            rec_id,
+            FrequencyMatrix(alphabet, data, _validate=False),
+            name=rec_name,
+            alength=alength,
+            w=w,
+            nsites=nsites,
+            evalue=evalue,
+            url=url,
+            background=background,
+        )
+
+
 def read_meme(handle, alphabet: Alphabet = DNA) -> MemeFile:
+    """Parse the prologue (version / ALPHABET= / background) eagerly,
+    stopping at the first MOTIF line; motifs stream lazily."""
     version = None
     background = None
     symbols = None
-    records = []
     lines = iter(handle)
-
-    def parse_background(first_rest, lines):
-        toks = []
-        rest = first_rest.strip()
-        while True:
-            toks.extend(rest.split())
-            # background may continue on following lines (pairs of
-            # symbol/frequency); stop when the next line isn't pairs
-            try:
-                pos = handle.tell()
-            except (AttributeError, OSError):
-                pos = None
-            line = next(lines, "")
-            rest = line.strip()
-            parts = rest.split()
-            if not parts or len(parts) % 2 != 0 or not _NUM.fullmatch(parts[1]):
-                return toks, line
-        return toks, ""
 
     pending = None
     while True:
@@ -283,89 +389,14 @@ def read_meme(handle, alphabet: Alphabet = DNA) -> MemeFile:
             symbols = stripped.split("=", 1)[1].strip()
             continue
         if stripped.startswith("Background letter frequencies"):
-            toks, pending = parse_background("", lines)
-            freqs = np.zeros(alphabet.size, dtype=np.float32)
-            for sym, val in zip(toks[::2], toks[1::2]):
-                freqs[alphabet.symbols.index(sym)] = float(val)
-            background = Background(alphabet, freqs, _validate=False)
+            background, pending = _parse_meme_background(lines, alphabet)
             continue
-        m = _MEME_MOTIF.match(stripped)
-        if m:
-            rec_id, rec_name = m.group(1), m.group(2)
-            alength = w = nsites = evalue = url = None
-            rows = []
-            # scan forward for the letter-probability matrix
-            for line2 in lines:
-                s2 = line2.strip()
-                lpm = _MEME_LPM.match(s2)
-                if lpm:
-                    alength = int(lpm.group(1)) if lpm.group(1) else None
-                    w = int(lpm.group(2)) if lpm.group(2) else None
-                    nsites = (
-                        int(float(lpm.group(3))) if lpm.group(3) else None
-                    )
-                    evalue = float(lpm.group(4)) if lpm.group(4) else None
-                    break
-            else:
-                raise ParseError(f"motif {rec_id!r} has no matrix")
-            # matrix rows follow until a non-numeric line
-            for line2 in lines:
-                s2 = line2.strip()
-                if not s2:
-                    if rows:
-                        break
-                    continue
-                toks = s2.split()
-                if all(_NUM.fullmatch(t) for t in toks):
-                    rows.append([float(t) for t in toks])
-                    if w is not None and len(rows) == w:
-                        break
-                else:
-                    pending = line2
-                    break
-            # optional URL line
-            while True:
-                line2 = pending if pending is not None else next(lines, None)
-                pending = None
-                if line2 is None:
-                    break
-                s2 = line2.strip()
-                if not s2:
-                    continue
-                mu = _MEME_URL.match(s2)
-                if mu:
-                    url = mu.group(1)
-                else:
-                    pending = line2
-                break
-            k = alphabet.size
-            data = np.zeros((len(rows), k), dtype=np.float32)
-            for i, row in enumerate(rows):
-                if len(row) > k - 1 and len(row) != k:
-                    raise ParseError(
-                        f"motif {rec_id!r}: row has {len(row)} values"
-                    )
-                # MEME column order follows the declared ALPHABET=
-                # (ACGT for DNA), not our internal order
-                order = symbols or alphabet.symbols[: len(row)]
-                for sym, val in zip(order, row):
-                    data[i, alphabet.symbols.index(sym)] = val
-            from ..matrix import FrequencyMatrix
-
-            records.append(
-                MemeRecord(
-                    rec_id,
-                    FrequencyMatrix(alphabet, data, _validate=False),
-                    name=rec_name,
-                    alength=alength,
-                    w=w,
-                    nsites=nsites,
-                    evalue=evalue,
-                    url=url,
-                    background=background,
-                )
-            )
-    return MemeFile(version, background, records)
+        if _MEME_MOTIF.match(stripped):
+            break
+    return MemeFile(
+        version, background,
+        _meme_motifs(lines, line, alphabet, symbols, background),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -208,6 +208,11 @@ class CountMatrix(_MatrixBase):
     @staticmethod
     def _row_entropy(row: np.ndarray) -> float:
         total = np.float32(row.astype(np.float32).sum())
+        if total == 0.0:
+            # all-zero rows occur in real TRANSFAC dumps (PRODORIC
+            # MX000002 row 01); the reference's NaN probabilities all
+            # fail its `p > 0` test, yielding entropy 0
+            return 0.0
         acc = np.float32(0.0)
         for n in row:
             pf = np.float32(np.float32(n) / total)

@@ -14,6 +14,7 @@ import pytest
 
 from lightmotif_tpu import DNA, PROTEIN
 from lightmotif_tpu.io import (
+    ParseError,
     load,
     loads,
     read_jaspar,
@@ -243,8 +244,9 @@ def test_ref_m00005():
 def test_ref_meme_files(name, version, count, alphabet):
     with open(f"{REF}/{name}") as fh:
         f = read_meme(fh, alphabet)
-    assert f.version == version
-    assert len(f.records) == count
+        # records stream lazily: drain while the handle is open
+        assert f.version == version
+        assert len(f.records) == count
     for rec in f.records:
         m = rec.matrix()
         assert len(m) > 0
@@ -255,6 +257,8 @@ def test_ref_meme_files(name, version, count, alphabet):
 def test_ref_dna_meme_background():
     with open(f"{REF}/DNA.meme") as fh:
         f = read_meme(fh, DNA)
+    # the prologue (version/background) parses eagerly, so reading it
+    # after the handle closes is fine
     assert f.background is not None
     assert f.background["A"] == pytest.approx(0.303)
     assert f.background["C"] == pytest.approx(0.183)
@@ -295,3 +299,150 @@ def test_load_data_keyword():
         list(load(io.StringIO(JASPAR16), data=JASPAR16))
     with pytest.raises(TypeError):
         list(load())
+
+
+# ---------------------------------------------------------------------------
+# malformed / truncated input (reference: nom error paths,
+# lightmotif-io/src/error.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_jaspar_raw_wrong_row_count():
+    with pytest.raises(ParseError):
+        list(read_jaspar(io.StringIO(">M1\n1 2 3\n4 5 6\n7 8 9\n")))
+
+
+def test_jaspar_raw_bad_token():
+    with pytest.raises(ParseError):
+        list(read_jaspar(io.StringIO(">M1\n1 x 3\n1 2 3\n1 2 3\n1 2 3\n")))
+
+
+def test_jaspar16_truncated_record():
+    # header with no matrix lines (EOF mid-record)
+    with pytest.raises(ParseError):
+        list(read_jaspar16(io.StringIO(">MA0000.1 empty\n")))
+
+
+def test_jaspar16_bad_line():
+    with pytest.raises(ParseError):
+        list(read_jaspar16(io.StringIO(">M\nA  1 2 3\n")))  # no brackets
+
+
+def test_jaspar16_duplicate_symbol():
+    text = ">M\nA [ 1 2 ]\nA [ 3 4 ]\n"
+    with pytest.raises(ParseError):
+        list(read_jaspar16(io.StringIO(text)))
+
+
+def test_jaspar16_ragged_columns():
+    text = ">M\nA [ 1 2 ]\nC [ 3 ]\nG [ 0 0 ]\nT [ 0 0 ]\n"
+    with pytest.raises(ParseError):
+        list(read_jaspar16(io.StringIO(text)))
+
+
+def test_transfac_unknown_p0_symbol():
+    text = "ID x\nP0 A C G Z\n00 1 2 3 4\n//\n"
+    with pytest.raises(ParseError):
+        list(read_transfac(io.StringIO(text)))
+
+
+def test_transfac_bad_matrix_row():
+    text = "ID x\nP0 A C G T\n00 1 2 three 4\n//\n"
+    with pytest.raises(ParseError):
+        list(read_transfac(io.StringIO(text)))
+
+
+def test_meme_motif_without_matrix():
+    text = "MEME version 4\n\nMOTIF broken\n"
+    with pytest.raises(ParseError):
+        list(read_meme(io.StringIO(text)))
+
+
+def test_meme_truncated_matrix():
+    text = (
+        "MEME version 4\n\nMOTIF trunc\n"
+        "letter-probability matrix: alength= 4 w= 3 nsites= 5 E= 1e-5\n"
+        " 0.25 0.25 0.25 0.25\n"
+    )
+    with pytest.raises(ParseError):
+        list(read_meme(io.StringIO(text)))
+
+
+def test_meme_bad_row_width():
+    text = (
+        "MEME version 4\n\nMOTIF wide\n"
+        "letter-probability matrix: alength= 4 w= 1\n"
+        " 0.1 0.1 0.1 0.1 0.1 0.1 0.1\n"
+    )
+    with pytest.raises(ParseError):
+        list(read_meme(io.StringIO(text)))
+
+
+def test_uniprobe_bad_value():
+    with pytest.raises(ParseError):
+        list(read_uniprobe(io.StringIO("name\nA:\t0.1\tbad\n")))
+
+
+def test_meme_is_streaming():
+    """Motif records parse lazily: the second record must not be
+    consumed from the handle until requested."""
+    handle = io.StringIO(MEME)
+    f = read_meme(handle)
+    it = iter(f)
+    first = next(it)
+    assert first.id == "crp"
+    # lexA's matrix lines are still unread (only crp + its URL block)
+    assert "0.857143" in handle.read()
+
+
+def test_meme_records_materialize():
+    f = read_meme(io.StringIO(MEME))
+    assert len(f) == 2  # len() drains the stream
+    assert [r.id for r in f] == ["crp", "lexA"]  # re-iterable afterwards
+
+
+# ---------------------------------------------------------------------------
+# full real databases (reference bench data, lightmotif-io/benches/)
+# ---------------------------------------------------------------------------
+
+BENCH = "/root/reference/lightmotif-io/benches"
+needs_bench = pytest.mark.skipif(
+    not os.path.isdir(BENCH), reason="reference bench data not mounted"
+)
+
+
+@needs_bench
+def test_jaspar2024_meme_database():
+    """The full JASPAR 2024 database (2,346 motifs, 1.2 MB) parses
+    streaming; every matrix row sums to ~1."""
+    with open(f"{BENCH}/JASPAR2024.meme") as fh:
+        f = read_meme(fh)
+        assert f.version == "4"
+        assert f.background["A"] == pytest.approx(0.25)
+        n = 0
+        first = None
+        for rec in f:
+            if first is None:
+                first = rec
+            n += 1
+            assert rec.w == len(rec.matrix())
+        assert n == 2346
+    assert first.id == "MA0004.1"
+    assert first.name == "Arnt"
+    assert first.w == 6
+    m = first.matrix()
+    assert m.data[0, DNA.symbols.index("C")] == pytest.approx(0.8)
+
+
+@needs_bench
+def test_prodoric_transfac_database():
+    """The full PRODORIC TRANSFAC dump (353 records) parses; MX000001
+    comes out with the bench motif's consensus."""
+    with open(f"{BENCH}/prodoric.transfac") as fh:
+        recs = list(read_transfac(fh))
+    assert len(recs) == 353
+    first = recs[0]
+    assert first.id == "MX000001"
+    cm = first.to_counts()
+    assert len(cm) == 15
+    assert cm.consensus()[:5] == "GTTGA"
