@@ -37,6 +37,7 @@ from .scanner import Hit, Scanner
 from .sampler import Sampler, SamplerData
 from .sampler_batch import (
     BatchSamplerResult,
+    BatchSamplerState,
     sample_oops_batch,
     sample_zoops_batch,
 )
@@ -75,6 +76,7 @@ __all__ = [
     "sample_oops_batch",
     "sample_zoops_batch",
     "BatchSamplerResult",
+    "BatchSamplerState",
     "TfmPvalue",
     "create",
     "stripe",

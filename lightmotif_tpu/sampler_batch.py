@@ -16,11 +16,19 @@ start, and resample its start with weights ``2^(score/T)``.  ZOOPS
 chains additionally carry an active-set mask, seed-biased hold-outs
 during inertia, IC-gated inclusion, and patience-based convergence
 (frozen chains keep their state for the rest of the scan).
+
+The step math lives in module-level pure functions (``counts_of`` /
+``pssm_of`` / ``score_holdouts``) shared by the jitted scan and the
+step-parity tests, and the scan carry is an explicit
+:class:`BatchSamplerState` PyTree: every ``sample_*_batch`` call
+returns ``result.state``, and passing ``state=`` resumes the chains
+exactly where they stopped (SURVEY §5 checkpoint/resume).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 
@@ -28,13 +36,96 @@ from .alphabet import DNA
 from .matrix import CountMatrix
 from .sequence import EncodedSequence
 
-__all__ = ["sample_oops_batch", "sample_zoops_batch", "BatchSamplerResult"]
+__all__ = [
+    "sample_oops_batch",
+    "sample_zoops_batch",
+    "BatchSamplerResult",
+    "BatchSamplerState",
+]
+
+
+class BatchSamplerState(NamedTuple):
+    """Explicit scan carry of the batched sampler (a JAX PyTree).
+
+    Checkpointable with ``jax.device_get`` / any PyTree serializer and
+    resumable via ``sample_*_batch(..., state=...)``.
+    """
+
+    starts: object     # int32 [C, N] current motif start per sequence
+    active: object     # bool  [C, N] active set (all True for OOPS)
+    seed_mask: object  # bool  [C, N] ZOOPS seed subset (static per run)
+    last_inc: object   # int32 [C]    step of the last ZOOPS inclusion
+    converged: object  # bool  [C]    patience-frozen chains
+    key: object        # PRNG key for the next step
+    step: object       # int32 []     global step counter
+
+
+def counts_of(seqs, totals, starts, active_f, width: int, k: int):
+    """Motif counts ``[C, w, K]`` + background counts ``[C, K]`` from
+    per-chain starts and an active-set weighting (the batched analogue
+    of ``Sampler._add_counts``, ``sampler.rs:472-510``)."""
+    import jax.numpy as jnp
+
+    n = seqs.shape[0]
+    n_iota = jnp.arange(n)
+    idx = starts[:, :, None] + jnp.arange(width)[None, None, :]
+    sym = seqs[n_iota[None, :, None], idx]  # [C, N, w]
+    oh = (sym[..., None] ==
+          jnp.arange(k)[None, None, None, :]).astype(jnp.float32)
+    oh = oh * active_f[:, :, None, None]
+    counts = oh.sum(axis=1)  # [C, w, K]
+    bgc = (totals[None, :, :] * active_f[:, :, None]).sum(axis=1) \
+        - counts.sum(axis=1)  # [C, K]
+    return counts, bgc
+
+
+def pssm_of(counts, bgc, k: int):
+    """0.1-pseudocount log2-odds PSSM ``[C, w, K]`` + information
+    content ``[C]`` (the batched ``Sampler._prepare_pssm``).
+
+    Wildcards get zero pseudocount; a zero-background symbol maps to
+    ``-inf`` like ``FrequencyMatrix.to_scoring`` and contributes 0 to
+    the information content (the reference skips non-finite terms)."""
+    import jax.numpy as jnp
+
+    pseudo = jnp.where(jnp.arange(k) == k - 1, 0.0, 0.1).astype(jnp.float32)
+    bg = bgc / jnp.maximum(bgc.sum(-1, keepdims=True), 1.0)
+    fr = counts + pseudo[None, None, :]
+    fr = fr / fr.sum(-1, keepdims=True)
+    pssm = jnp.where(
+        bg[:, None, :] > 0,
+        jnp.log2(fr / jnp.maximum(bg[:, None, :], 1e-30)),
+        -jnp.inf,
+    )  # [C, w, K]
+    ic = jnp.sum(jnp.where(jnp.isfinite(pssm), fr * pssm, 0.0),
+                 axis=(1, 2))
+    return pssm, ic
+
+
+def score_holdouts(seqz, pssm, valid_z, width: int, k: int):
+    """Exact f32 scores of every window start of each chain's hold-out
+    sequence (ascending-j select-chain adds, bit-identical to
+    ``ScoringMatrix.score_host``); invalid starts get ``-inf``."""
+    import jax.numpy as jnp
+
+    chains, lp = seqz.shape
+    lv = lp - width + 1
+    acc = jnp.zeros((chains, lv), jnp.float32)
+    for j in range(width):
+        sym_j = seqz[:, j:j + lv].astype(jnp.int32)
+        val = jnp.broadcast_to(pssm[:, j, k - 1:k], (chains, lv))
+        for s in range(k - 2, -1, -1):
+            val = jnp.where(sym_j == s, pssm[:, j, s:s + 1], val)
+        acc = acc + val
+    p_iota = jnp.arange(lv)[None, :]
+    return jnp.where(p_iota < valid_z[:, None], acc, -jnp.inf)
 
 
 class BatchSamplerResult:
     """Final state of every chain plus the information-content ranking."""
 
-    __slots__ = ("starts", "counts", "information_content", "best", "alphabet", "active")
+    __slots__ = ("starts", "counts", "information_content", "best",
+                 "alphabet", "active", "state")
 
     def __init__(self, starts, counts, information_content, best, alphabet):
         self.starts = starts
@@ -43,6 +134,7 @@ class BatchSamplerResult:
         self.best = best
         self.alphabet = alphabet
         self.active = None
+        self.state = None
 
     def count_matrix(self, chain: int | None = None) -> CountMatrix:
         c = self.best if chain is None else chain
@@ -58,22 +150,14 @@ class BatchSamplerResult:
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("width", "steps", "chains", "k", "temperature",
-                     "zoops", "seeds", "inertia", "patience"),
+    static_argnames=("width", "chains", "k", "zoops", "seeds"),
 )
-def _run_chains(seqs, valid, totals, key, width: int, steps: int,
-                chains: int, k: int, temperature: float,
-                zoops: bool = False, seeds: int = 0, inertia: int = 0,
-                patience: int = 0):
+def _init_chains(seqs, valid, key, width: int, chains: int, k: int,
+                 zoops: bool, seeds: int):
     import jax
     import jax.numpy as jnp
 
-    n, lp = seqs.shape
-    lv = lp - width + 1
-    c_iota = jnp.arange(chains)
-    n_iota = jnp.arange(n)
-    ln2 = np.float32(np.log(2.0))
-
+    n = seqs.shape[0]
     key, k0, k1 = jax.random.split(key, 3)
     u = jax.random.uniform(k0, (chains, n))
     starts0 = (u * valid[None, :].astype(jnp.float32)).astype(jnp.int32)
@@ -88,31 +172,29 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
         seed_mask = jnp.ones((chains, n), jnp.bool_)
         active0 = jnp.ones((chains, n), jnp.bool_)
 
-    pseudo = jnp.where(jnp.arange(k) == k - 1, 0.0, 0.1).astype(jnp.float32)
+    return BatchSamplerState(
+        starts0, active0, seed_mask,
+        jnp.zeros(chains, jnp.int32), jnp.zeros(chains, jnp.bool_),
+        key, jnp.int32(0),
+    )
 
-    def counts_of(starts, active):
-        idx = starts[:, :, None] + jnp.arange(width)[None, None, :]
-        sym = seqs[n_iota[None, :, None], idx]  # [C, N, w]
-        oh = (sym[..., None] ==
-              jnp.arange(k)[None, None, None, :]).astype(jnp.float32)
-        oh = oh * active[:, :, None, None]
-        counts = oh.sum(axis=1)  # [C, w, K]
-        bgc = (totals[None, :, :] * active[:, :, None]).sum(axis=1) \
-            - counts.sum(axis=1)  # [C, K]
-        return counts, bgc
 
-    def pssm_of(counts, bgc):
-        bg = bgc / jnp.maximum(bgc.sum(-1, keepdims=True), 1.0)
-        fr = counts + pseudo[None, None, :]
-        fr = fr / fr.sum(-1, keepdims=True)
-        pssm = jnp.where(
-            bg[:, None, :] > 0,
-            jnp.log2(fr / jnp.maximum(bg[:, None, :], 1e-30)),
-            -jnp.inf,
-        )  # [C, w, K]
-        ic = jnp.sum(jnp.where(jnp.isfinite(pssm), fr * pssm, 0.0),
-                     axis=(1, 2))
-        return pssm, ic
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("width", "steps", "chains", "k", "temperature",
+                     "zoops", "inertia", "patience"),
+)
+def _run_chains(seqs, valid, totals, state: BatchSamplerState, width: int,
+                steps: int, chains: int, k: int, temperature: float,
+                zoops: bool = False, inertia: int = 0, patience: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    n, lp = seqs.shape
+    c_iota = jnp.arange(chains)
+    n_iota = jnp.arange(n)
+    ln2 = np.float32(np.log(2.0))
+    seed_mask = state.seed_mask
 
     def step(carry, step_i):
         starts, active, last_inc, converged, key = carry
@@ -132,21 +214,11 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
         was_active = active[c_iota, z]
         holdout = (n_iota[None, :] == z[:, None])
         act_f = (active & ~holdout).astype(jnp.float32)
-        counts, bgc = counts_of(starts, act_f)
-        pssm, ic_without = pssm_of(counts, bgc)
+        counts, bgc = counts_of(seqs, totals, starts, act_f, width, k)
+        pssm, ic_without = pssm_of(counts, bgc, k)
 
-        seqz = seqs[z]  # [C, Lp]
-        acc = jnp.zeros((chains, lv), jnp.float32)
-        for j in range(width):
-            sym_j = seqz[:, j:j + lv].astype(jnp.int32)
-            val = jnp.broadcast_to(pssm[:, j, k - 1:k], (chains, lv))
-            for s in range(k - 2, -1, -1):
-                val = jnp.where(sym_j == s, pssm[:, j, s:s + 1], val)
-            acc = acc + val
-
-        logits = acc * (ln2 / np.float32(temperature))
-        p_iota = jnp.arange(lv)[None, :]
-        logits = jnp.where(p_iota < valid[z][:, None], logits, -jnp.inf)
+        logits = score_holdouts(seqs[z], pssm, valid[z], width, k) \
+            * (ln2 / np.float32(temperature))
         new = jax.random.categorical(ks, logits, axis=-1).astype(jnp.int32)
         # all--inf weights: keep the previous start, like the host
         # sampler (reference WeightedIndex::new Err, sampler.rs:528-538)
@@ -159,8 +231,9 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
             # accept a newly-included sequence only if the information
             # content improves (sampler.rs:550-595)
             act_with = active.at[c_iota, z].set(True).astype(jnp.float32)
-            counts2, bgc2 = counts_of(starts, act_with)
-            _, ic_with = pssm_of(counts2, bgc2)
+            counts2, bgc2 = counts_of(seqs, totals, starts, act_with,
+                                      width, k)
+            _, ic_with = pssm_of(counts2, bgc2, k)
             accept = was_active | (ic_with >= ic_without)
             accept = accept & ~converged
             new_active = active.at[c_iota, z].set(
@@ -174,13 +247,18 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
             active = new_active
         return (starts, active, last_inc, converged, key), None
 
-    carry0 = (starts0, active0, jnp.zeros(chains, jnp.int32),
-              jnp.zeros(chains, jnp.bool_), key)
-    (starts, active, _, converged, key), _ = jax.lax.scan(
-        step, carry0, jnp.arange(steps))
+    carry0 = (state.starts, state.active, state.last_inc, state.converged,
+              state.key)
+    (starts, active, last_inc, converged, key), _ = jax.lax.scan(
+        step, carry0, state.step + jnp.arange(steps))
+    out_state = BatchSamplerState(
+        starts, active, seed_mask, last_inc, converged, key,
+        state.step + steps)
 
     # final counts over the active set + per-chain information content
-    counts, bgc = counts_of(starts, active.astype(jnp.float32))
+    counts, bgc = counts_of(seqs, totals, starts,
+                            active.astype(jnp.float32), width, k)
+    pseudo = jnp.where(jnp.arange(k) == k - 1, 0.0, 0.1).astype(jnp.float32)
     fr = counts + pseudo[None, None, :]
     fr = fr / fr.sum(-1, keepdims=True)
     bg = bgc / jnp.maximum(bgc.sum(-1, keepdims=True), 1.0)
@@ -190,11 +268,11 @@ def _run_chains(seqs, valid, totals, key, width: int, steps: int,
         0.0,
     )
     ic = term.sum(axis=(1, 2))
-    return starts, counts, ic, active
+    return out_state, counts, ic
 
 
 def _sample_batch(sequences, width, steps, chains, seed, temperature,
-                  alphabet, zoops, seeds, inertia, patience):
+                  alphabet, zoops, seeds, inertia, patience, state=None):
     import jax
     import jax.numpy as jnp
 
@@ -216,28 +294,32 @@ def _sample_batch(sequences, width, steps, chains, seed, temperature,
         totals[i] = np.bincount(s.data, minlength=k).astype(np.float32)
         valid[i] = len(s) - width + 1
 
-    starts, counts, ic, active = _run_chains(
-        jnp.asarray(mat),
-        jnp.asarray(valid),
+    seqs_d = jnp.asarray(mat)
+    valid_d = jnp.asarray(valid)
+    if state is None:
+        state = _init_chains(seqs_d, valid_d, jax.random.PRNGKey(seed),
+                             width, chains, k, zoops, seeds)
+    out_state, counts, ic = _run_chains(
+        seqs_d,
+        valid_d,
         jnp.asarray(totals),
-        jax.random.PRNGKey(seed),
+        state,
         width,
         steps,
         chains,
         k,
         float(temperature),
         zoops,
-        seeds,
         inertia,
         patience,
     )
-    starts = np.asarray(jax.device_get(starts))
+    starts = np.asarray(jax.device_get(out_state.starts))
     counts = np.asarray(jax.device_get(counts))
     ic = np.asarray(jax.device_get(ic))
     best = int(np.argmax(ic))
     res = BatchSamplerResult(starts, counts, ic, best, alphabet)
-    res_active = np.asarray(jax.device_get(active))
-    res.active = res_active
+    res.active = np.asarray(jax.device_get(out_state.active))
+    res.state = out_state
     return res
 
 
@@ -249,15 +331,19 @@ def sample_oops_batch(
     seed: int = 0,
     temperature: float = 1.0,
     alphabet=DNA,
+    state: BatchSamplerState | None = None,
 ) -> BatchSamplerResult:
     """Run ``chains`` independent OOPS Gibbs chains in one device scan.
 
     Returns a :class:`BatchSamplerResult`; ``result.best`` is the chain
-    with the highest information content, ``result.pssm()`` its motif.
-    Deterministic for a given ``seed`` (threefry PRNG).
+    with the highest information content, ``result.pssm()`` its motif,
+    ``result.state`` the resumable carry: passing it back as ``state=``
+    continues the same chains for ``steps`` more steps, bit-identically
+    to one longer run.  Deterministic for a given ``seed`` (threefry).
     """
     return _sample_batch(sequences, width, steps, chains, seed,
-                         temperature, alphabet, False, 0, 0, 0)
+                         temperature, alphabet, False, 0, 0, 0,
+                         state=state)
 
 
 def sample_zoops_batch(
@@ -271,6 +357,7 @@ def sample_zoops_batch(
     inertia: int | None = None,
     patience: int | None = None,
     alphabet=DNA,
+    state: BatchSamplerState | None = None,
 ) -> BatchSamplerResult:
     """Batched ZOOPS chains (zero-or-one occurrence per sequence).
 
@@ -279,7 +366,8 @@ def sample_zoops_batch(
     steps, a newly-included sequence is kept only if the information
     content improves, and a chain freezes after ``patience`` steps
     without an inclusion.  ``result.active`` marks each chain's final
-    active set.
+    active set; ``result.state`` resumes (step counting, inertia and
+    patience windows continue across the boundary).
     """
     n = len(list(sequences)) if not hasattr(sequences, "__len__") else len(sequences)
     if inertia is None:
@@ -288,4 +376,4 @@ def sample_zoops_batch(
         patience = n
     return _sample_batch(sequences, width, steps, chains, seed,
                          temperature, alphabet, True, seeds, int(inertia),
-                         int(patience))
+                         int(patience), state=state)
