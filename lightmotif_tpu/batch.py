@@ -25,7 +25,13 @@ from .sequence import EncodedSequence
 __all__ = ["BatchScanner", "MultiBatchScanner"]
 
 
-def _concatenate(seqs, gap: int, alphabet):
+def _concatenate(seqs, gap: int, alphabet, pad_to: int | None = None):
+    """Concatenate records with ``gap`` wildcard separators.
+
+    ``pad_to`` extends the result with trailing wildcards to a fixed
+    length, so successive batches reuse one compiled device program
+    (hits cannot originate there: every tail window fails the
+    ``local <= len(record) - m`` rule)."""
     seqs = list(seqs)
     if not seqs:
         raise ValueError("no sequences given")
@@ -42,6 +48,9 @@ def _concatenate(seqs, gap: int, alphabet):
         parts.append(np.asarray(s.data, dtype=np.uint8))
         parts.append(pad)
         pos += len(s) + gap
+    if pad_to is not None and pad_to > pos:
+        parts.append(
+            np.full(pad_to - pos, alphabet.default_index, dtype=np.uint8))
     data = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     return EncodedSequence(data, alphabet), offsets, lengths
 
@@ -57,11 +66,12 @@ def _split(positions, scores, offsets, lengths, m):
 class BatchScanner:
     """Scan one PSSM over many sequences in a single device pass."""
 
-    def __init__(self, pssm, seqs, threshold: float = 0.0, **kw):
+    def __init__(self, pssm, seqs, threshold: float = 0.0,
+                 pad_to: int | None = None, **kw):
         self.pssm = pssm
         gap = max(len(pssm) - 1, 0)
         self._concat, self._offsets, self._lengths = _concatenate(
-            seqs, gap, pssm.alphabet)
+            seqs, gap, pssm.alphabet, pad_to)
         self._scanner = Scanner(pssm, self._concat, threshold=threshold, **kw)
 
     def collect(self) -> list:
@@ -88,7 +98,8 @@ class BatchScanner:
 class MultiBatchScanner:
     """Scan many PSSMs over many sequences in a single device pass."""
 
-    def __init__(self, pssms, seqs, thresholds=0.0, **kw):
+    def __init__(self, pssms, seqs, thresholds=0.0,
+                 pad_to: int | None = None, **kw):
         self.pssms = list(pssms)
         if not self.pssms:
             raise ValueError("no motifs given")
@@ -96,7 +107,7 @@ class MultiBatchScanner:
         gap = max(m_max - 1, 0)
         self._m = [len(p) for p in self.pssms]
         self._concat, self._offsets, self._lengths = _concatenate(
-            seqs, gap, self.pssms[0].alphabet)
+            seqs, gap, self.pssms[0].alphabet, pad_to)
         self._scanner = MultiScanner(
             self.pssms, self._concat, thresholds=thresholds, **kw)
 

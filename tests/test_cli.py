@@ -161,3 +161,65 @@ def test_no_direct_no_reverse_many_records(tmp_path):
                "-o", str(o), "-q", "--no-direct"])
     assert rc == 0
     assert open(o).read().splitlines()[1:] == []
+
+
+def test_streaming_flights_match_single_pass(tmp_path):
+    """A multi-record file split into many bounded flights produces
+    exactly the single-pass output (flat-RSS streaming; round-1 VERDICT
+    item 6)."""
+    import numpy as np
+
+    m = tmp_path / "motifs.jaspar16"
+    m.write_text(MATRICES)
+    rng = np.random.default_rng(17)
+    recs = []
+    for i in range(40):
+        body = "".join("ACGT"[c] for c in rng.integers(0, 4, size=400))
+        # plant the strong motif in some records
+        if i % 7 == 0:
+            body = body[:100] + "GTTGACCTTATCAAC" + body[115:]
+        recs.append(f">r{i}\n{body}\n")
+    s = tmp_path / "many.fa"
+    s.write_text("".join(recs))
+
+    def run_with(flight_bytes, name):
+        o = tmp_path / name
+        rc = main(["-m", str(m), "--format", "jaspar16", "-s", str(s),
+                   "-o", str(o), "-q", "--abs-threshold", "-8",
+                   "--flight-bytes", str(flight_bytes)])
+        assert rc == 0
+        return o.read_text()
+
+    # ~417 bytes/record + gap: 2k flights hold ~4 records -> ~10 flights
+    streamed = run_with(2048, "flights.tsv")
+    single = run_with(1 << 26, "single.tsv")
+    assert streamed == single
+    assert streamed.count("\n") > 5  # sanity: hits were found
+
+
+def test_streaming_solo_record(tmp_path):
+    """A record larger than the flight bound takes the segmented solo
+    path and still matches the batched output for the other records."""
+    import numpy as np
+
+    m = tmp_path / "motifs.jaspar16"
+    m.write_text(MATRICES)
+    rng = np.random.default_rng(23)
+    big = "".join("ACGT"[c] for c in rng.integers(0, 4, size=9000))
+    big = big[:500] + "GTTGACCTTATCAAC" + big[515:]
+    small = "".join("ACGT"[c] for c in rng.integers(0, 4, size=300))
+    s = tmp_path / "mix.fa"
+    s.write_text(f">small1\n{small}\n>big\n{big}\n>small2\n{small}\n")
+
+    def run_with(flight_bytes, name):
+        o = tmp_path / name
+        rc = main(["-m", str(m), "--format", "jaspar16", "-s", str(s),
+                   "-o", str(o), "-q", "--abs-threshold", "-8",
+                   "--flight-bytes", str(flight_bytes)])
+        assert rc == 0
+        return o.read_text()
+
+    streamed = run_with(4096, "solo.tsv")     # big record goes solo
+    single = run_with(1 << 26, "whole.tsv")
+    assert streamed == single
+    assert ">big" not in streamed and "\tbig\t" in streamed
