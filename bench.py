@@ -7,21 +7,28 @@ position of an E. coli K12-sized genome (4,641,652 bp) with the
 PRODORIC MX000001 motif (15x5 PSSM, 0.1 pseudocount, uniform
 background), writing the f32 score of every window to device memory --
 the same work the reference's AVX2 backend does at 1029 MB/s ~= 1.029e9
-positions/s on one i7-10710U core (``BASELINE.md``).  Scores are
-bit-exact against the sequential host oracle (verified before timing).
+positions/s on one i7-10710U core (``BASELINE.md``).
 
-The genome file is not shipped with the reference, so a deterministic
-random genome of identical length is synthesized; throughput is
-sequence-content independent (the kernel does identical work per
-position).
+Correctness gates before any timing:
 
-Timing uses in-jit repetition slopes with a wide rep span: the TPU in
-this environment is reached through a tunnel whose ~30 ms round-trip
-jitter would otherwise drown the per-scan time (the span must put
->=10 ms of real device work between the two rep counts).
+* **full-genome bit parity**: all 4,641,638 device scores must equal
+  the sequential host oracle exactly (``np.array_equal``);
+* **known-answer anchor** (content-dependent, the analogue of the
+  reference's position-391677 check on the real E. coli genome, which
+  is not redistributable in this environment): the best hit of the
+  deterministic seed-0xECC011 genome is position 3,254,602 with score
+  f32-bits 0x419FC9C8 (18.986465...), where the tie rule must prefer
+  it over position 2,558,379 scoring the *identical* f32 value.
 
-Prints exactly one JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+The primary metric is the exact-f32 scan; ``secondary`` reports the
+two-pass Scanner wall time and the fused multi-motif prefilter rate
+(the reference's own genome-scale paths).  Timing uses in-jit
+repetition slopes with a wide rep span (the TPU sits behind a tunnel
+whose ~30 ms jitter would otherwise drown per-scan time; the span puts
+>=20 ms of device work between the two rep counts).
+
+Prints exactly one JSON line whose first four keys follow the driver
+contract: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
 """
 
 from __future__ import annotations
@@ -35,7 +42,9 @@ import numpy as np
 ECOLI_LENGTH = 4_641_652
 BASELINE_POS_PER_S = 1.029e9  # reference AVX2, single core
 PATTERNS = ["GTTGACCTTATCAAC", "GTTGATCCAGTCAAC"]  # == MX000001 counts
-REPS = 100
+KNOWN_BEST_POS = 3_254_602
+KNOWN_BEST_BITS = 1100473416  # f32 18.986465454101562
+KNOWN_TIE_POS = 2_558_379  # scores the identical f32 value
 
 
 def build_inputs():
@@ -50,7 +59,7 @@ def build_inputs():
     return pssm, seq
 
 
-def bench_slope(fn_carry, args, probe, r_lo=8, r_hi=128, trials=5):
+def bench_slope(fn_carry, args, probe, r_lo=32, r_hi=512, trials=4):
     """Per-iteration device time via in-jit repetition slopes.
 
     See ``tools/perf.py``: the remote-TPU tunnel neither synchronizes on
@@ -84,31 +93,106 @@ def bench_slope(fn_carry, args, probe, r_lo=8, r_hi=128, trials=5):
     return (results[r_hi] - results[r_lo]) / (r_hi - r_lo)
 
 
+def secondary_metrics(pssm, seq, genome_len):
+    """Scanner wall + fused multi-motif prefilter rate (best effort)."""
+    out = {}
+    try:
+        from lightmotif_tpu.scanner import Scanner
+
+        t = pssm.score_distribution().score(1e-5)
+        Scanner(pssm, seq, threshold=t).collect()  # warm/compile
+        best = np.inf
+        n_hits = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_hits = len(Scanner(pssm, seq, threshold=t).collect())
+            best = min(best, time.perf_counter() - t0)
+        out["scanner_p1e5_wall_s"] = round(best, 3)
+        out["scanner_hits"] = n_hits
+        out["scanner_pos_per_s_incl_tunnel"] = round(genome_len / best)
+    except Exception as e:  # pragma: no cover - best effort
+        out["scanner_error"] = repr(e)[:120]
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from lightmotif_tpu.ops import multi_kernel
+
+        rng = np.random.default_rng(11)
+        m, k, M = 15, 5, 1024
+        dms = rng.integers(0, 200, size=(M, m, k)).astype(np.float32)
+        dms[:, :, 4] = 0.0
+        filters = np.zeros((multi_kernel.MAX_MK, M), np.float32)
+        for j in range(m):
+            filters[j * 8:j * 8 + k, :] = dms[:, j, :].T
+        t_eff = np.full((1, M), 2400.0, np.float32)
+        n_valid = np.full((1, M), genome_len - m + 1, np.int32)
+        tile = multi_kernel.TILE
+        lp = -(-genome_len // tile) * tile
+        flat = np.full(lp, 4, np.int8)
+        flat[:genome_len] = np.asarray(seq.data, np.int8)[:genome_len]
+        sdev = jax.device_put(flat)
+        fdev = jax.device_put(filters)
+        te = jax.device_put(t_eff)
+        nv = jax.device_put(n_valid)
+        fn = lambda s, f, carry: multi_kernel.prefilter_bits(
+            s, f + carry, te, nv, m, k)
+        jax.device_get(fn(sdev, fdev, jnp.float32(0.0)))
+        per = bench_slope(fn, (sdev, fdev), probe=100, r_lo=4, r_hi=64,
+                          trials=3)
+        out["multi_prefilter_gpos_motif_per_s"] = round(
+            genome_len * M / per / 1e9, 1)
+        out["multi_prefilter_vs_avx2_per_motif"] = round(
+            genome_len * M / per / BASELINE_POS_PER_S, 1)
+    except Exception as e:  # pragma: no cover - best effort
+        out["multi_error"] = repr(e)[:120]
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from lightmotif_tpu.ops import kernels
-    from lightmotif_tpu.ops.pipeline import DeviceSequence
+    from lightmotif_tpu.ops import kernels, xla_ops
 
     pssm, seq = build_inputs()
-    dseq = DeviceSequence(seq, pad_multiple=kernels.PAD_LANES)
+    dseq_pad = kernels.preferred_pad()
     m = len(pssm)
-    n_scores = dseq.length - m + 1
+    seq_len = len(seq)
+    n_scores = seq_len - m + 1
+    lp = xla_ops.pad_length(seq_len, dseq_pad)
+    flat = np.full(lp, pssm.alphabet.default_index, dtype=np.int8)
+    flat[:seq_len] = seq.data
+    sdev = jax.device_put(flat)
     pssm_dev = jnp.asarray(np.asarray(pssm.data, dtype=np.float32))
 
     fn = jax.jit(lambda s, p: kernels.score_f32(s, p, n_scores))
 
-    # correctness anchor: device scores == sequential host scores (f32 exact)
-    out = jax.device_get(fn(dseq.data, pssm_dev))[:100_000]
-    host = pssm.score_host(seq)[:100_000]
+    # gate 1: FULL-genome bit parity vs the sequential host oracle
+    out = jax.device_get(fn(sdev, pssm_dev))[:n_scores]
+    host = pssm.score_host(seq)
     if not np.array_equal(out, host):
-        print(json.dumps({"error": "parity check failed"}), file=sys.stderr)
+        bad = int(np.argmin(out == host))
+        print(json.dumps({"error": "parity check failed", "at": bad}),
+              file=sys.stderr)
+        raise SystemExit(1)
+
+    # gate 2: content-dependent known answer + last-max tie rule
+    mx = host.max()
+    am = int(np.nonzero(host == mx)[0][-1])
+    if (am != KNOWN_BEST_POS
+            or np.float32(mx).view(np.int32) != KNOWN_BEST_BITS
+            or np.float32(host[KNOWN_TIE_POS]).view(np.int32)
+            != KNOWN_BEST_BITS):
+        print(json.dumps({"error": "known-answer check failed",
+                          "argmax": am, "bits": int(np.float32(mx).view(np.int32))}),
+              file=sys.stderr)
         raise SystemExit(1)
 
     t = bench_slope(
         lambda s, p, carry: kernels.score_f32(s, p + carry, n_scores),
-        (dseq.data, pssm_dev),
+        (sdev, pssm_dev),
         probe=n_scores - 1,
     )
     pos_per_s = n_scores / t
@@ -120,6 +204,7 @@ def main() -> None:
                 "value": pos_per_s,
                 "unit": "positions/s",
                 "vs_baseline": pos_per_s / BASELINE_POS_PER_S,
+                "secondary": secondary_metrics(pssm, seq, seq_len),
             }
         )
     )

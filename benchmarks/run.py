@@ -1,0 +1,489 @@
+#!/usr/bin/env python
+"""Reproducible benchmark suite (VERDICT round-1 task 4).
+
+One command regenerates every number in RESULTS.md on the attached TPU:
+
+    python benchmarks/run.py              # all workloads
+    python benchmarks/run.py -k f32,enc   # a subset
+    python benchmarks/run.py --json       # machine-readable only
+
+Workload parity with the reference bench programs:
+
+  f32        full-genome exact f32 scoring   lightmotif/benches/score.rs
+  u8         full-genome discrete scoring    benches/score.rs (u8)
+  argmax     10 kb max+argmax                benches/max.rs
+  threshold  genome threshold compaction     benches/threshold.rs
+  encode     ASCII->rank encoding            benches/encode.rs
+  scan       two-pass Scanner, E. coli      lightmotif-bench/dna.rs:151-221
+  scanmax    Scanner::max                    lightmotif-bench/dna.rs:29-73
+  batch      1000 x 500 bp records           (CLI thread-pool analogue)
+  multi      fused multi-motif prefilter     lightmotif-cli fan-out
+  jaspar     MultiScanner x JASPAR2024       (real database)
+  sampler    512-chain batched Gibbs         lightmotif sampler
+  tfmp       TFM-PVALUE exact p-value        lightmotif-tfmpvalue/benches
+  meshone    mesh-of-1 sharded scan overhead (scaling clause)
+
+Device timings use the tunnel-safe in-jit repetition-slope protocol
+(tools/perf.py); wall times are perf_counter around warm public-API
+calls and include every host<->device round trip.  All parity gates run
+before timing.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+ECOLI_LENGTH = 4_641_652
+AVX2_BASELINE = 1.029e9  # reference AVX2 full-genome scan, pos/s (BASELINE.md)
+AVX2_ARGMAX_10KB = 781e6  # reference AVX2 argmax over 10 kb, pos/s
+PATTERNS = ["GTTGACCTTATCAAC", "GTTGATCCAGTCAAC"]  # == MX000001 counts
+JASPAR2024 = "/root/reference/lightmotif-io/benches/JASPAR2024.meme"
+
+_RESULTS = []
+
+
+def record(name, metric, value, unit, note="", vs_baseline=None):
+    row = {"name": name, "metric": metric, "value": value, "unit": unit,
+           "note": note}
+    if vs_baseline is not None:
+        row["vs_baseline"] = vs_baseline
+    _RESULTS.append(row)
+    flat = {k: v for k, v in row.items()}
+    print(json.dumps(flat), flush=True)
+
+
+def build_genome(seed=0xECC011, n=ECOLI_LENGTH):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 4, size=n, dtype=np.int8)
+
+
+def build_pssm():
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+
+    cm = CountMatrix.from_sequences(
+        EncodedSequence.encode(p) for p in PATTERNS)
+    return cm.to_freq(0.1).to_weight(None).to_scoring()
+
+
+def _device_inputs(genome, pssm):
+    import jax
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import kernels
+
+    unit = kernels.preferred_pad()
+    lp = -(-genome.size // unit) * unit
+    flat = np.full(lp, 4, dtype=np.int8)
+    flat[:genome.size] = genome
+    sdev = jax.device_put(flat)
+    table = jnp.asarray(np.asarray(pssm.data, dtype=np.float32))
+    return sdev, table
+
+
+# ---------------------------------------------------------------- workloads
+
+
+def bench_f32(ctx):
+    import jax
+    import jax.numpy as jnp
+
+    from tools.perf import repeat_time
+    from lightmotif_tpu.ops import kernels
+
+    genome, pssm, seq = ctx["genome"], ctx["pssm"], ctx["seq"]
+    n_scores = genome.size - len(pssm) + 1
+    sdev, table = _device_inputs(genome, pssm)
+    fn = lambda s, p, carry: kernels.score_f32(s, p + carry, n_scores)
+    out = jax.device_get(fn(sdev, table, jnp.float32(0.0)))[:n_scores]
+    assert np.array_equal(out, ctx["oracle"]), "f32 parity failed"
+    per, _ = repeat_time(lambda: (fn, (sdev, table), n_scores - 1),
+                         r_lo=32, r_hi=512, trials=3)
+    rate = n_scores / per
+    record("f32", "full-genome exact f32 scoring", round(rate / 1e9, 2),
+           "Gpos/s", "bit-exact vs score_host (full genome)",
+           vs_baseline=round(rate / AVX2_BASELINE, 1))
+
+
+def bench_u8(ctx):
+    import jax
+    import jax.numpy as jnp
+
+    from tools.perf import repeat_time
+    from lightmotif_tpu.ops import kernels
+
+    genome, pssm = ctx["genome"], ctx["pssm"]
+    dm = pssm.to_discrete()
+    n_scores = genome.size - len(pssm) + 1
+    sdev, _ = _device_inputs(genome, pssm)
+    dmdev = jnp.asarray(np.asarray(dm.data, dtype=np.uint8))
+    fn = lambda s, d, carry: kernels.score_u8(s, d + carry, n_scores)
+    out = jax.device_get(fn(sdev, dmdev, jnp.uint8(0)))[:100_000]
+    # host oracle: i32 sums clamped at 255 == stepwise saturating u8
+    # (partial sums are monotone non-decreasing)
+    m = len(pssm)
+    win = np.lib.stride_tricks.sliding_window_view(
+        genome[:100_000 + m - 1], m)
+    dmv = np.asarray(dm.data, np.int64)
+    host = np.minimum(dmv[np.arange(m)[None, :], win].sum(1), 255)
+    assert np.array_equal(out, host), "u8 parity failed"
+    per, _ = repeat_time(lambda: (fn, (sdev, dmdev), n_scores - 1),
+                         r_lo=32, r_hi=512, trials=3)
+    record("u8", "full-genome discrete u8 scoring",
+           round(n_scores / per / 1e9, 2), "Gpos/s",
+           "== reference saturating-u8 scores")
+
+
+def bench_argmax(ctx):
+    import jax
+    import jax.numpy as jnp
+
+    from tools.perf import repeat_time
+    from lightmotif_tpu.ops import pipeline, xla_ops
+
+    pssm = ctx["pssm"]
+    rng = np.random.default_rng(7)
+    from lightmotif_tpu import EncodedSequence
+
+    seq10k = EncodedSequence(
+        rng.integers(0, 4, size=10_000, dtype=np.uint8))
+    pipe = pipeline.default_pipeline()
+    # parity + warm (public fused reduction)
+    mx, am = pipe.score_max(pssm, seq10k)
+    host = pssm.score_host(seq10k)
+    assert np.float32(mx) == host.max()
+    assert int(am) == int(np.nonzero(host == host.max())[0][-1])
+
+    # a 10 kb sequence would pad 50x under the genome-kernel geometry;
+    # the XLA path's small pad multiple matches the workload size
+    dseq = pipeline.DeviceSequence(
+        seq10k, pad_multiple=xla_ops.PAD_MULTIPLE)
+    n = len(seq10k) - len(pssm) + 1
+    table = jnp.asarray(np.asarray(pssm.data, np.float32))
+
+    @jax.jit
+    def fn(s, p, carry):
+        scores = xla_ops.score_f32(s, p + carry, n)[:n]
+        return jnp.stack([xla_ops.max_last(scores),
+                          xla_ops.argmax_last(scores).astype(jnp.float32)])
+
+    per, _ = repeat_time(lambda: (fn, (dseq.data, table), 0),
+                         r_lo=64, r_hi=4096, trials=3)
+    rate = n / per
+    record("argmax", "10 kb score+max+argmax (device)",
+           round(rate / 1e9, 2), "Gpos/s", "last-max tie rule",
+           vs_baseline=round(rate / AVX2_ARGMAX_10KB, 1))
+
+
+def bench_threshold(ctx):
+    import jax
+    import jax.numpy as jnp
+
+    from tools.perf import repeat_time
+    from lightmotif_tpu.ops import xla_ops
+
+    genome, pssm = ctx["genome"], ctx["pssm"]
+    n_scores = genome.size - len(pssm) + 1
+    sdev, table = _device_inputs(genome, pssm)
+    t = float(np.quantile(ctx["oracle"], 0.9999))
+    cap = 1 << 10
+
+    from lightmotif_tpu.ops import kernels
+
+    @jax.jit
+    def fn(s, p, carry):
+        scores = kernels.score_f32(s, p + carry, n_scores)
+        count, idx, valid = xla_ops.compact_mask(scores >= t, cap, True)
+        return idx
+
+    idx = np.asarray(jax.device_get(fn(sdev, table, jnp.float32(0.0))))
+    want = np.nonzero(ctx["oracle"] >= t)[0]
+    got = idx[idx < n_scores]
+    assert np.array_equal(np.sort(got[: len(want)]), want), "threshold parity"
+    per, _ = repeat_time(lambda: (fn, (sdev, table), 0),
+                         r_lo=16, r_hi=256, trials=3)
+    record("threshold", "full-genome score+threshold compaction",
+           round(n_scores / per / 1e9, 2), "Gpos/s",
+           f"~{len(want)} survivors @ p~1e-4")
+
+
+def bench_encode(ctx):
+    from lightmotif_tpu import EncodedSequence
+
+    rng = np.random.default_rng(3)
+    text = "".join(rng.choice(list("ACGTacgtN"), size=8 << 20))
+    EncodedSequence.encode_lossy(text)  # warm
+    best = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        EncodedSequence.encode_lossy(text)
+        best = min(best, time.perf_counter() - t0)
+    record("encode", "ASCII->rank encode (native, host)",
+           round(len(text) / best / 1e9, 2), "Gpos/s",
+           "C++ LUT encoder, GIL released")
+
+
+def bench_scan(ctx):
+    from lightmotif_tpu.scanner import Scanner
+
+    pssm, seq = ctx["pssm"], ctx["seq"]
+    dist = pssm.score_distribution()
+    t = dist.score(1e-5)
+    sc = Scanner(pssm, seq, threshold=t)
+    hits = sc.collect()  # warm + compile
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = len(Scanner(pssm, seq, threshold=t).collect())
+        best = min(best, time.perf_counter() - t0)
+    rate = ctx["genome"].size / best
+    record("scan", "two-pass Scanner, E. coli, p=1e-5 (wall)",
+           round(best, 3), "s",
+           f"{len(hits)} exact hits; {rate / 1e9:.1f} Gpos/s incl. tunnel",
+           vs_baseline=round(rate / AVX2_BASELINE, 1))
+
+
+def bench_scanmax(ctx):
+    from lightmotif_tpu.scanner import Scanner
+
+    pssm, seq = ctx["pssm"], ctx["seq"]
+    ora = ctx["oracle"]
+    t = float(ora.max()) - 1.0  # the best window always qualifies
+    sc = Scanner(pssm, seq, threshold=t)
+    best_hit = sc.max()  # warm
+    assert best_hit is not None
+    assert best_hit.score == ora.max()
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        Scanner(pssm, seq, threshold=t).max()
+        best = min(best, time.perf_counter() - t0)
+    record("scanmax", "Scanner::max, E. coli (wall)", round(best, 3), "s",
+           f"best {best_hit.score:.4f}@{best_hit.position} == oracle max")
+
+
+def bench_batch(ctx):
+    from lightmotif_tpu.batch import BatchScanner
+
+    pssm = ctx["pssm"]
+    rng = np.random.default_rng(5)
+    from lightmotif_tpu import EncodedSequence
+
+    seqs = [EncodedSequence(rng.integers(0, 4, size=500, dtype=np.uint8))
+            for _ in range(1000)]
+    t = pssm.score_distribution().score(1e-4)
+    BatchScanner(pssm, seqs, threshold=t).collect()  # warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = BatchScanner(pssm, seqs, threshold=t).collect()
+        best = min(best, time.perf_counter() - t0)
+    n_hits = sum(len(h) for h in out)
+    record("batch", "1000 x 500 bp records, p=1e-4 (wall)",
+           round(best, 3), "s", f"{n_hits} hits, one device pass")
+
+
+def bench_multi(ctx):
+    import jax
+    import jax.numpy as jnp
+
+    from tools.perf import repeat_time
+    from lightmotif_tpu.ops import multi_kernel
+
+    genome = ctx["genome"]
+    L = genome.size
+    rng = np.random.default_rng(11)
+    m, k = 15, 5
+    for M in (16, 128, 1024):
+        dms = rng.integers(0, 200, size=(M, m, k)).astype(np.float32)
+        dms[:, :, 4] = 0.0
+        m_pad = -(-M // 16) * 16
+        filters = np.zeros((multi_kernel.MAX_MK, m_pad), np.float32)
+        for j in range(m):
+            filters[j * 8:j * 8 + k, :M] = dms[:, j, :].T
+        t_eff = np.full((1, m_pad), np.inf, np.float32)
+        t_eff[0, :M] = 2400.0
+        n_valid = np.zeros((1, m_pad), np.int32)
+        n_valid[0, :M] = L - m + 1
+        tile = multi_kernel.TILE
+        lp = -(-L // tile) * tile
+        flat = np.full(lp, 4, dtype=np.int8)
+        flat[:L] = genome
+        sdev = jax.device_put(flat)
+        fdev = jax.device_put(filters)
+        te = jax.device_put(t_eff)
+        nv = jax.device_put(n_valid)
+        fn = lambda s, f, carry: multi_kernel.prefilter_bits(
+            s, f + carry, te, nv, m, k)
+        jax.device_get(fn(sdev, fdev, jnp.float32(0.0)))
+        per, _ = repeat_time(lambda: (fn, (sdev, fdev), 100),
+                             r_lo=4, r_hi=64, trials=3)
+        record(f"multi{M}", f"fused prefilter, {M} motifs x genome",
+               round(L * M / per / 1e9, 1), "Gpos*motif/s",
+               f"{per * 1e3:.1f} ms/genome",
+               vs_baseline=round(L * M / per / AVX2_BASELINE, 1))
+
+
+def bench_jaspar(ctx):
+    from lightmotif_tpu import load
+    from lightmotif_tpu.scanner import MultiScanner
+
+    if not os.path.exists(JASPAR2024):
+        record("jaspar", "MultiScanner x JASPAR2024", None, "skipped",
+               "database not mounted")
+        return
+    pssms = []
+    for motif in load(JASPAR2024, format="meme"):
+        if motif.pssm is not None and 2 <= len(motif.pssm) <= 16:
+            pssms.append(motif.pssm)
+        if len(pssms) == 1024:
+            break
+    ths = [p.score_distribution().score(1e-6) for p in pssms]
+    seq = ctx["seq"]
+    ms = MultiScanner(pssms, seq, thresholds=ths)
+    hits = ms.collect()  # warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        MultiScanner(pssms, seq, thresholds=ths).collect()
+        best = min(best, time.perf_counter() - t0)
+    gpm = ctx["genome"].size * len(pssms) / best
+    record("jaspar", f"{len(pssms)} real JASPAR motifs x E. coli (wall)",
+           round(best, 3), "s",
+           f"{len(hits)} exact hits; {gpm / 1e9:.0f} Gpos*motif/s e2e",
+           vs_baseline=round(gpm / AVX2_BASELINE, 1))
+
+
+def bench_sampler(ctx):
+    from lightmotif_tpu import sample_oops_batch
+
+    rng = np.random.default_rng(13)
+    planted = "TTGACGGCTA"
+    seqs = []
+    for _ in range(30):
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, size=1000))
+        p = int(rng.integers(0, 990))
+        seqs.append(s[:p] + planted + s[p + 10:])
+    sample_oops_batch(seqs, width=10, steps=200, chains=512, seed=1)  # warm
+    best = np.inf
+    res = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = sample_oops_batch(seqs, width=10, steps=200, chains=512,
+                                seed=1)
+        best = min(best, time.perf_counter() - t0)
+    cons = res.count_matrix().consensus().upper()
+    record("sampler", "512 OOPS chains x 200 steps, 30 x 1 kb (wall)",
+           round(best, 3), "s", f"best-chain consensus {cons}")
+
+
+def bench_tfmp(ctx):
+    from lightmotif_tpu import TfmPvalue
+
+    pssm = ctx["pssm"]
+    tfm = TfmPvalue(pssm)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pv = TfmPvalue(pssm).pvalue(8.0)
+        best = min(best, time.perf_counter() - t0)
+    record("tfmp", "TFM-PVALUE exact p-value (host)",
+           round(best * 1e3, 1), "ms", f"pvalue(8.0)={pv:.3e}")
+
+
+def bench_meshone(ctx):
+    """Mesh-of-1 sharded scan vs the plain single-chip Scanner: the
+    measurable part of the scaling clause on one real chip."""
+    import jax
+
+    from lightmotif_tpu.parallel import ShardedScanner
+    from lightmotif_tpu.scanner import Scanner
+
+    pssm, seq = ctx["pssm"], ctx["seq"]
+    t = pssm.score_distribution().score(1e-5)
+    plain_hits = Scanner(pssm, seq, threshold=t).collect()
+    mesh_hits = ShardedScanner(pssm, seq, threshold=t).collect()
+    assert [(h.position, h.score) for h in plain_hits] == \
+        [(h.position, h.score) for h in mesh_hits], "mesh-of-1 parity"
+    t_plain = np.inf
+    t_mesh = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        Scanner(pssm, seq, threshold=t).collect()
+        t_plain = min(t_plain, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ShardedScanner(pssm, seq, threshold=t).collect()
+        t_mesh = min(t_mesh, time.perf_counter() - t0)
+    record("meshone", "mesh-of-1 sharded scan overhead (wall)",
+           round(t_mesh / t_plain, 2), "x plain",
+           f"plain {t_plain:.3f}s vs mesh {t_mesh:.3f}s, identical hits")
+
+
+WORKLOADS = {
+    "f32": bench_f32,
+    "u8": bench_u8,
+    "argmax": bench_argmax,
+    "threshold": bench_threshold,
+    "encode": bench_encode,
+    "scan": bench_scan,
+    "scanmax": bench_scanmax,
+    "batch": bench_batch,
+    "multi": bench_multi,
+    "jaspar": bench_jaspar,
+    "sampler": bench_sampler,
+    "tfmp": bench_tfmp,
+    "meshone": bench_meshone,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-k", default=None,
+                    help="comma-separated workload subset")
+    ap.add_argument("--json", action="store_true",
+                    help="suppress the markdown table")
+    args = ap.parse_args(argv)
+    names = list(WORKLOADS) if not args.k else [
+        n for n in args.k.split(",") if n in WORKLOADS]
+
+    from lightmotif_tpu import EncodedSequence
+
+    genome = build_genome()
+    pssm = build_pssm()
+    seq = EncodedSequence(genome.astype(np.uint8))
+    t0 = time.time()
+    oracle = pssm.score_host(seq)
+    ctx = {"genome": genome, "pssm": pssm, "seq": seq, "oracle": oracle}
+    print(json.dumps({"event": "oracle_ready",
+                      "s": round(time.time() - t0, 1)}), flush=True)
+
+    for name in names:
+        try:
+            WORKLOADS[name](ctx)
+        except Exception as e:  # keep the suite running
+            record(name, "ERROR", None, "", repr(e)[:300])
+
+    with open(RESULTS_JSON, "w") as fh:
+        json.dump({"timestamp": time.time(), "results": _RESULTS}, fh,
+                  indent=1)
+    if not args.json:
+        print("\n| workload | metric | value | unit | vs AVX2 | note |")
+        print("|---|---|---|---|---|---|")
+        for r in _RESULTS:
+            vs = r.get("vs_baseline", "")
+            vs = f"{vs}x" if vs != "" else "-"
+            print(f"| {r['name']} | {r['metric']} | {r['value']} | "
+                  f"{r['unit']} | {vs} | {r['note']} |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,6 +48,69 @@ def g8_score_bb(seq, table, n_scores, bb):
                          chunks=8, bb=bb).reshape(-1)
 
 
+def _g8v_kernel(tab_ref, b0_ref, b1_ref, out_ref, *, m, k, rows, grid,
+                n_scores, bb, guard, variant):
+    """gather kernel variants: 'guard' tail-guards the validity mask,
+    'slice' replaces the accumulate-side roll with a lane-offset slice."""
+    i = pl.program_id(0)
+    w = m - 1
+    b0 = b0_ref[:].astype(jnp.int32)
+    halo_src = b1_ref[:, :w].astype(jnp.int32)
+    wrapped = pltpu.roll(halo_src, 8 - 1, axis=0)
+    halo = jnp.where(i == grid - 1, wrapped, halo_src)
+    window = jnp.concatenate([b0, halo], axis=1)
+    width = bb + w
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def lookup(j):
+        col = jnp.full((8, 1), tab_ref[j, k - 1])
+        for s in range(k - 2, -1, -1):
+            col = jnp.where(sub == s, tab_ref[j, s], col)
+        table = jnp.broadcast_to(col, (8, width))
+        return jnp.take_along_axis(table, window, axis=0)
+
+    if variant == "slice":
+        acc = lookup(0)[:, :bb]
+        for j in range(1, m):
+            acc = acc + jax.lax.slice(lookup(j), (0, j), (8, j + bb))
+    else:
+        acc = lookup(0)
+        for j in range(1, m):
+            acc = acc + pltpu.roll(lookup(j), width - j, axis=1)
+        acc = acc[:, :bb]
+
+    if variant == "guard":
+        @pl.when(i < guard)
+        def _():
+            out_ref[:] = acc
+
+        @pl.when(i >= guard)
+        def _():
+            c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, bb), 0)
+            l_ids = jax.lax.broadcasted_iota(jnp.int32, (8, bb), 1)
+            pos = c_ids * rows + i * bb + l_ids
+            out_ref[:] = jnp.where(pos < n_scores, acc, -jnp.inf)
+    else:
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, bb), 0)
+        l_ids = jax.lax.broadcasted_iota(jnp.int32, (8, bb), 1)
+        pos = c_ids * rows + i * bb + l_ids
+        out_ref[:] = jnp.where(pos < n_scores, acc, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("n_scores", "bb", "variant"))
+def g8v_score(seq, table, n_scores, bb, variant):
+    lp = seq.shape[0]
+    rows = lp // 8
+    grid = rows // bb
+    m, k = table.shape
+    guard = max(0, min(grid - 1, (n_scores - 7 * rows) // bb))
+    kernel = functools.partial(_g8v_kernel, m=m, k=k, rows=rows, grid=grid,
+                               n_scores=n_scores, bb=bb, guard=guard,
+                               variant=variant)
+    return _chunked_call(kernel, seq, table, rows, grid,
+                         chunks=8, bb=bb).reshape(-1)
+
+
 def main():
     from lightmotif_tpu import CountMatrix, EncodedSequence
 
@@ -97,6 +160,28 @@ def main():
                      "span_ms": round((raw[1024] - raw[32]) * 1e3, 1),
                      "gpos_per_s": round(n_scores / per / 1e9, 2),
                      "vs_avx2": round(n_scores / per / 1.029e9, 1)})
+        except Exception as e:
+            log({"case": name, "error": repr(e)[:300]})
+
+    # refinement variants at the best plain geometry
+    for bb, variant in ((32768, "guard"), (32768, "slice"),
+                        (65536, "guard")):
+        name = f"g8_{variant}_bb{bb}"
+        try:
+            fn = lambda s, p, carry: g8v_score(
+                s, p + carry, n_scores, bb, variant)
+            out = jax.device_get(fn(sdev, table, jnp.float32(0.0)))
+            full_ok = bool(np.array_equal(out[:n_scores], oracle))
+            log({"case": name, "full_genome_parity": full_ok})
+            if not full_ok:
+                continue
+            per, raw = repeat_time(
+                lambda: (fn, (sdev, table), n_scores - 1),
+                r_lo=32, r_hi=1024, trials=3)
+            log({"case": name,
+                 "span_ms": round((raw[1024] - raw[32]) * 1e3, 1),
+                 "gpos_per_s": round(n_scores / per / 1e9, 2),
+                 "vs_avx2": round(n_scores / per / 1.029e9, 1)})
         except Exception as e:
             log({"case": name, "error": repr(e)[:300]})
 

@@ -5,26 +5,31 @@ TPU-native replacement for the reference's SIMD backends
 its memory layout to the SIMD width (32-lane Farrar striping with AVX2
 ``permute`` row lookups); here the layout couples to the VPU geometry:
 
-* the flat sequence ``[Lp]`` is viewed as ``[C, rows]`` int8 --
-  ``C = 512`` independent chunks on the *sublane* axis, consecutive
-  positions along the *lane* axis.  This is a pure reshape: no data
-  movement on input or output (the earlier striped-transpose design
-  lost 10x to layout copies);
+* the flat sequence ``[Lp]`` is viewed as ``[8, rows]`` int8 -- eight
+  independent chunks on the *sublane* axis (one per VREG row),
+  consecutive positions along the *lane* axis.  This is a pure
+  reshape: no data movement on input or output;
 * the kernel grid tiles the lane axis; each step loads its block plus
   the next one as halo.  Chunk boundaries are handled like the
   reference's wrap rows (``seq.rs:369-381``): the final block's halo is
   the *next chunk's head*, obtained by rolling block 0 one sublane up;
+* the per-row lookup ``A_j[p] = w[j, s[p]]`` is ONE hardware sublane
+  gather (``take_along_axis`` on the 8-row block against a
+  lane-broadcast ``[8, 1]`` table column) -- the true TPU analogue of
+  AVX2's ``permutevar8x32_ps`` (``avx2.rs:101-199``), and ~4x faster
+  than the K-way select chain it replaced in round 1 (the selects cost
+  5 ops per looked-up value; the gather costs 1);
 * scoring accumulates ``acc += roll(A_j, -j lanes)`` for motif rows
-  ``j = 0..m-1``, where ``A_j[p] = w[j, s[p]]`` is an exact K-way
-  select from per-symbol masks computed *once* per block on aligned
-  data; rolls replace the misaligned slices a naive windowing would
-  need.  The adds run in ascending ``j`` order, so each f32 score is
-  bit-identical to the reference's sequential sum
+  ``j = 0..m-1``.  The adds run in ascending ``j`` order, so each f32
+  score is bit-identical to the reference's sequential sum
   (``pli/mod.rs:96-105``);
 * the discrete path accumulates the u8 matrix in f32 (all addends are
   small non-negative integers: every partial sum is exact) and clamps
   to 255 at the end, which equals the reference's stepwise saturating
   add (partial sums are monotone non-decreasing).
+
+Measured on v5e (experiments/f32_probe.out, g8_verify.out): ~100 Gpos/s
+exact f32 full-genome scoring vs ~24 for the round-1 select chain.
 """
 
 from __future__ import annotations
@@ -41,12 +46,13 @@ from . import xla_ops
 
 __all__ = ["score_f32", "score_u8", "PAD_LANES", "CHUNKS"]
 
-#: Chunks (sublane axis) of the flat layout.  [256 x 2048] measured
-#: ~10% faster than [512 x 1024] on v5e (experiments/perf_variants5.out).
-CHUNKS = 256
+#: Chunks (sublane axis) of the flat layout: exactly the 8 VREG rows,
+#: so ``take_along_axis`` row gathers are a single hardware op (they
+#: are only supported -- and only fast -- on 8-row arrays).
+CHUNKS = 8
 
 #: Lane-block size (positions per chunk per grid step).
-BLOCK_LANES = 2048
+BLOCK_LANES = 65536
 
 #: Flat sequences consumed by these kernels must be padded to a
 #: multiple of CHUNKS * BLOCK_LANES.
@@ -60,11 +66,11 @@ PAD_LANES = CHUNKS * BLOCK_LANES
 INTERPRET = False
 
 
-def _select_kernel(tab_ref, b0_ref, b1_ref, out_ref, *, m, k, rows, grid,
-                   n_scores, block_lanes, chunks, discrete):
+def _gather_kernel(tab_ref, b0_ref, b1_ref, out_ref, *, m, k, rows, grid,
+                   n_scores, block_lanes, discrete):
     """Scoring kernel over one lane-block of every chunk.
 
-    ``b0``: this block ``[chunks, block_lanes]``; ``b1``: next block
+    ``b0``: this block ``[8, block_lanes]``; ``b1``: next block
     (index ``(i+1) % grid``), used as halo; for the last block the halo
     is block 0 rolled one chunk up (next chunk's head).
     """
@@ -76,27 +82,45 @@ def _select_kernel(tab_ref, b0_ref, b1_ref, out_ref, *, m, k, rows, grid,
         # wrap: for the last block the halo is the next chunk's first
         # lanes (roll sublanes up by one); Mosaic rotates need 32-bit.
         halo_src = b1_ref[:, :w].astype(jnp.int32)
-        wrapped = pltpu.roll(halo_src, chunks - 1, axis=0)
+        wrapped = pltpu.roll(halo_src, CHUNKS - 1, axis=0)
         is_last = i == grid - 1
         halo = jnp.where(is_last, wrapped, halo_src)
         window = jnp.concatenate([b0, halo], axis=1)
     else:
-        window = b0  # [chunks, block_lanes + m - 1]
-
-    # per-symbol masks, computed once, aligned for every motif row
-    masks = [window == s for s in range(k - 1)]
+        window = b0  # [8, block_lanes + m - 1]
     width = block_lanes + w
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNKS, 1), 0)
+    n_groups = -(-k // CHUNKS)  # 1 for DNA (K=5), 3 for protein (K=21)
+    if n_groups > 1:
+        win_clipped = [
+            jnp.clip(window - g * CHUNKS, 0, CHUNKS - 1)
+            for g in range(n_groups)
+        ]
 
     def lookup(j):
-        val = jnp.full((chunks, width), tab_ref[j, k - 1])
-        for s in range(k - 2, -1, -1):
-            val = jnp.where(masks[s], tab_ref[j, s], val)
+        # [8, 1] table column per 8-symbol group: row s' holds
+        # w[j, g*8 + s'] (out-of-range rows get the wildcard value;
+        # clipped indices never select them wrongly thanks to the
+        # range test below) -- built with selects on 8 elements, then
+        # lane-broadcast.  The gather out[r, l] = col[idx[r, l]] is
+        # one op per VREG: the TPU analogue of permutevar8x32.
+        def group_col(g):
+            col = jnp.full((CHUNKS, 1), tab_ref[j, k - 1])
+            for s in range(min(k - 1, (g + 1) * CHUNKS) - 1,
+                           g * CHUNKS - 1, -1):
+                col = jnp.where(sub == s - g * CHUNKS, tab_ref[j, s], col)
+            return jnp.broadcast_to(col, (CHUNKS, width))
+
+        if n_groups == 1:
+            return jnp.take_along_axis(group_col(0), window, axis=0)
+        val = jnp.take_along_axis(group_col(0), win_clipped[0], axis=0)
+        for g in range(1, n_groups):
+            vg = jnp.take_along_axis(group_col(g), win_clipped[g], axis=0)
+            val = jnp.where(window >= g * CHUNKS, vg, val)
         return val
 
     # left-to-right accumulation (reference sum order, bit-exact):
     #   acc_j[p] = sum_{t<=j} w[t, s[p+t]]
-    # maintained by shifting the *lookup* left by j lanes via repeated
-    # single-lane rolls of the accumulated remainder.
     acc = lookup(0)
     for j in range(1, m):
         # acc[p] += A_j[p + j]: roll A_j left by j lanes (pltpu.roll
@@ -106,8 +130,8 @@ def _select_kernel(tab_ref, b0_ref, b1_ref, out_ref, *, m, k, rows, grid,
     acc = acc[:, :block_lanes]
 
     # mask invalid positions: flat position = c * rows + (i*B + lane)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (chunks, block_lanes), 0)
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (chunks, block_lanes), 1)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNKS, block_lanes), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNKS, block_lanes), 1)
     pos = c_ids * rows + i * block_lanes + l_ids
     if discrete:
         acc = jnp.minimum(acc, 255.0)
@@ -118,25 +142,24 @@ def _select_kernel(tab_ref, b0_ref, b1_ref, out_ref, *, m, k, rows, grid,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_scores", "chunks", "block_lanes", "discrete")
+    jax.jit, static_argnames=("n_scores", "block_lanes", "discrete")
 )
-def _score_chunked(seq, table, n_scores, chunks, block_lanes, discrete):
+def _score_chunked(seq, table, n_scores, block_lanes, discrete):
     m, k = table.shape
     lp = seq.shape[0]
-    assert lp % (chunks * block_lanes) == 0
-    rows = lp // chunks
+    assert lp % (CHUNKS * block_lanes) == 0
+    rows = lp // CHUNKS
     grid = rows // block_lanes
-    view = seq.reshape(chunks, rows)  # free: no data movement
+    view = seq.reshape(CHUNKS, rows)  # free: no data movement
 
     kernel = functools.partial(
-        _select_kernel,
+        _gather_kernel,
         m=m,
         k=k,
         rows=rows,
         grid=grid,
         n_scores=n_scores,
         block_lanes=block_lanes,
-        chunks=chunks,
         discrete=discrete,
     )
     out_dtype = jnp.int32 if discrete else jnp.float32
@@ -146,18 +169,20 @@ def _score_chunked(seq, table, n_scores, chunks, block_lanes, discrete):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (chunks, block_lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+                (CHUNKS, block_lanes), lambda i: (0, i),
+                memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (chunks, block_lanes),
+                (CHUNKS, block_lanes),
                 lambda i: (0, (i + 1) % grid),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (chunks, block_lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+            (CHUNKS, block_lanes), lambda i: (0, i),
+            memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((chunks, rows), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((CHUNKS, rows), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -189,7 +214,7 @@ def score_f32(seq, pssm, n_scores: int):
     """Exact f32 scores of every window start (Pallas on TPU)."""
     if not _supports_pallas(seq, pssm.shape[0]):
         return xla_ops.score_f32(seq, pssm, n_scores)
-    return _score_chunked(seq, pssm, n_scores, CHUNKS, BLOCK_LANES, False)
+    return _score_chunked(seq, pssm, n_scores, BLOCK_LANES, False)
 
 
 def score_u8(seq, dm, n_scores: int):
@@ -197,4 +222,4 @@ def score_u8(seq, dm, n_scores: int):
     if not _supports_pallas(seq, dm.shape[0]):
         return xla_ops.score_u8(seq, dm, n_scores)
     table = dm.astype(jnp.float32)
-    return _score_chunked(seq, table, n_scores, CHUNKS, BLOCK_LANES, True)
+    return _score_chunked(seq, table, n_scores, BLOCK_LANES, True)
