@@ -123,21 +123,19 @@ def secondary_metrics(pssm, seq, genome_len):
         m, k, M = 15, 5, 1024
         dms = rng.integers(0, 200, size=(M, m, k)).astype(np.float32)
         dms[:, :, 4] = 0.0
-        filters = np.zeros((multi_kernel.MAX_MK, M), np.float32)
-        for j in range(m):
-            filters[j * 8:j * 8 + k, :] = dms[:, j, :].T
-        t_eff = np.full((1, M), 2400.0, np.float32)
-        n_valid = np.full((1, M), genome_len - m + 1, np.int32)
+        filters_t = multi_kernel.pack_filters_any(
+            dms, np.full(M, 2400, np.int64), k)
+        # keep the experiment's finite thresholds (pack maps >255 to
+        # the never-pass guard; 2400 is realistic for raw integer sums)
+        filters_t[multi_kernel._lanes_for(k) - 1, :] = -2400.0
         tile = multi_kernel.TILE
         lp = -(-genome_len // tile) * tile
         flat = np.full(lp, 4, np.int8)
         flat[:genome_len] = np.asarray(seq.data, np.int8)[:genome_len]
         sdev = jax.device_put(flat)
-        fdev = jax.device_put(filters)
-        te = jax.device_put(t_eff)
-        nv = jax.device_put(n_valid)
-        fn = lambda s, f, carry: multi_kernel.prefilter_bits(
-            s, f + carry, te, nv, m, k)
+        fdev = jax.device_put(filters_t)
+        fn = lambda s, f, carry: multi_kernel.prefilter_any(
+            s, f + carry, m, k)
         jax.device_get(fn(sdev, fdev, jnp.float32(0.0)))
         per = bench_slope(fn, (sdev, fdev), probe=100, r_lo=4, r_hi=64,
                           trials=3)

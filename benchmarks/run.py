@@ -305,28 +305,21 @@ def bench_multi(ctx):
     for M in (16, 128, 1024):
         dms = rng.integers(0, 200, size=(M, m, k)).astype(np.float32)
         dms[:, :, 4] = 0.0
-        m_pad = -(-M // 16) * 16
-        filters = np.zeros((multi_kernel.MAX_MK, m_pad), np.float32)
-        for j in range(m):
-            filters[j * 8:j * 8 + k, :M] = dms[:, j, :].T
-        t_eff = np.full((1, m_pad), np.inf, np.float32)
-        t_eff[0, :M] = 2400.0
-        n_valid = np.zeros((1, m_pad), np.int32)
-        n_valid[0, :M] = L - m + 1
+        filters_t = multi_kernel.pack_filters_any(
+            dms, np.full(M, 2400, np.int64), k)
+        filters_t[multi_kernel._lanes_for(k) - 1, :] = -2400.0
         tile = multi_kernel.TILE
         lp = -(-L // tile) * tile
         flat = np.full(lp, 4, dtype=np.int8)
         flat[:L] = genome
         sdev = jax.device_put(flat)
-        fdev = jax.device_put(filters)
-        te = jax.device_put(t_eff)
-        nv = jax.device_put(n_valid)
-        fn = lambda s, f, carry: multi_kernel.prefilter_bits(
-            s, f + carry, te, nv, m, k)
+        fdev = jax.device_put(filters_t)
+        fn = lambda s, f, carry: multi_kernel.prefilter_any(
+            s, f + carry, m, k)
         jax.device_get(fn(sdev, fdev, jnp.float32(0.0)))
         per, _ = repeat_time(lambda: (fn, (sdev, fdev), 100),
                              r_lo=4, r_hi=64, trials=3)
-        record(f"multi{M}", f"fused prefilter, {M} motifs x genome",
+        record(f"multi{M}", f"fused any-prefilter, {M} motifs x genome",
                round(L * M / per / 1e9, 1), "Gpos*motif/s",
                f"{per * 1e3:.1f} ms/genome",
                vs_baseline=round(L * M / per / AVX2_BASELINE, 1))

@@ -123,40 +123,80 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "chunk_len", "cap", "dense", "m_max", "k"))
-def scan_multi_segment_fused(seq, off, n_valid_here, filters, pssms,
-                             t_eff, thresholds, chunk_len: int, cap: int,
+def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
+                             thresholds, chunk_len: int, cap: int,
                              m_max: int, k: int, dense: bool = False):
     """Fused-prefilter variant of :func:`scan_multi_segment`.
 
-    Uses the Pallas MXU prefilter (:mod:`.multi_kernel`): packed hit
-    bits instead of a ``[C, M]`` score matrix, then two sparse
-    compactions (candidate positions, then (position, motif) pairs)
+    Uses the Pallas MXU any-candidate prefilter (:mod:`.multi_kernel`):
+    one int32 per position instead of a ``[C, M]`` score matrix, then a
+    sparse per-motif matmul over the surviving positions, compactions,
     and the exact f32 rescore.  Same return convention.
     """
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
-    return scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff,
+    return scan_multi_core(chunk, n_valid_here, filters_t, pssms,
                            thresholds, cap, m_max, k, dense)
 
 
-def scan_multi_core(chunk, n_valid_here, filters, pssms, t_eff, thresholds,
+def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
                     cap: int, m_max: int, k: int, dense: bool):
     """Fused multi-motif scan body on an in-register chunk (shared by
-    the single-chip segment loop and the mesh shard path)."""
+    the single-chip segment loop and the mesh shard path).
+
+    ``filters_t``: threshold-folded filters
+    (:func:`.multi_kernel.pack_filters_any`).  Stage 1 computes one
+    ``max_mo(score - t)`` int32 per position on the MXU; stage 2
+    recovers per-motif hit words for the compacted candidate positions
+    with a sparse ``[cap, blocks*128]`` one-hot matmul against the same
+    filters (exact integer arithmetic in both stages).
+    """
     from . import multi_kernel, xla_ops
 
     chunk_len = chunk.shape[0]
     mcount = pssms.shape[0]
-    n_words = filters.shape[1] // multi_kernel.BITS_PER_WORD
-    bits = multi_kernel.prefilter_bits(
-        chunk, filters, t_eff, n_valid_here, m_max, k)  # [C, W] i32
+    m_pad = filters_t.shape[1]
+    lanes = multi_kernel._lanes_for(k)
+    rpb = multi_kernel.MAX_MK // lanes
+    n_blocks = filters_t.shape[0] // multi_kernel.MAX_MK
+    bpw = multi_kernel.BITS_PER_WORD
+    n_words = m_pad // bpw
 
-    pairs_total = jnp.sum(jax.lax.population_count(bits))
-    any_mask = jnp.sum(bits, axis=1) != 0  # words are non-negative
+    maxv = multi_kernel.prefilter_any(chunk, filters_t, m_max, k)
+    any_mask = maxv.reshape(-1) >= 0
     pos_count, pos_idx, pos_valid = xla_ops.compact_mask(any_mask, cap, dense)
-
     safe_pos = jnp.minimum(pos_idx, chunk_len - 1)
-    words = bits[safe_pos]  # [cap, W]
-    words = jnp.where((pos_idx < chunk_len)[:, None], words, 0)
+
+    # sparse per-motif stage: one-hot candidate windows (same lane
+    # layout as the kernel: lane = (j % rpb) * lanes + s, block j//rpb)
+    # against the same folded filters -> part = score - t, exactly
+    gidx = jnp.clip(
+        safe_pos[:, None] + jnp.arange(m_max)[None, :], 0, chunk_len - 1)
+    win = chunk[gidx].astype(jnp.int32)  # [cap, m_max]
+    oh = win[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, lanes), 2)
+    pad_rows = n_blocks * rpb - m_max
+    if pad_rows:
+        oh = jnp.pad(oh, ((0, 0), (0, pad_rows), (0, 0)))
+    x = oh.reshape(cap, n_blocks * multi_kernel.MAX_MK)
+    x = x.at[:, lanes - 1].set(True)  # constant lane carries -t
+    part = jnp.dot(
+        x.astype(jnp.bfloat16), filters_t.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [cap, m_pad] == score - t
+    mask = (part >= 0) \
+        & (pos_idx[:, None] < n_valid_here[0][None, :]) \
+        & (pos_idx < chunk_len)[:, None]
+    pairs_total = jnp.sum(mask.astype(jnp.int32))
+
+    # halfword bit-pack (block-diagonal powers of two; sums of distinct
+    # 2^b <= 65535 are exact in the f32 accumulator)
+    powers = np.zeros((m_pad, n_words), np.float32)
+    for mo in range(m_pad):
+        powers[mo, mo // bpw] = float(1 << (mo % bpw))
+    words = jnp.dot(
+        mask.astype(jnp.bfloat16), jnp.asarray(powers, jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # [cap, W]
 
     # pairs extract through two more SMALL compactions -- candidate
     # words, then bits of surviving words -- so work scales with hits,

@@ -37,14 +37,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["prefilter_bits", "supports_fused", "BITS_PER_WORD", "TILE"]
+__all__ = ["prefilter_any", "prefilter_bits", "pack_filters_any",
+           "supports_fused", "BITS_PER_WORD", "TILE", "NEG_GUARD"]
 
 #: Motifs per packed output word (halfword packing keeps the bit-pack
 #: matmul exact in f32).
 BITS_PER_WORD = 16
 
-#: Positions per grid tile.
-TILE = 2048
+#: Positions per grid tile.  The tile sweep at M=1024 measured 463 /
+#: 480 / 494 Gpos*motif/s for 2048 / 4096 / 8192
+#: (experiments/multi_opt.out) -- bigger tiles amortize grid-step
+#: overheads; [8192, 1024] f32 scores fit VMEM with room to spare.
+TILE = 8192
 
 #: Contraction size (one MXU pass).
 MAX_MK = 128
@@ -67,8 +71,16 @@ MAX_BLOCKS = 4
 MAX_M_ROWS = 2 * ROWS_PER_BLOCK
 
 
+#: Finite stand-in for "+inf threshold" once thresholds fold into the
+#: matmul as ``-t`` (0 x inf would make NaNs): larger than any raw
+#: integer score sum (<= 64 rows x 255), exactly representable in bf16.
+NEG_GUARD = 65536.0
+
+
 def _lanes_for(k: int) -> int:
-    return LANES_PER_ROW if k <= LANES_PER_ROW else LANES_PER_ROW_WIDE
+    # strictly fewer symbols than lanes: the top slot of group j=0 is
+    # the constant-one lane that carries the folded threshold
+    return LANES_PER_ROW if k < LANES_PER_ROW else LANES_PER_ROW_WIDE
 
 
 def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
@@ -96,8 +108,26 @@ def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
     return filters, t_eff
 
 
+def pack_filters_any(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
+    """Threshold-folded filters for :func:`prefilter_any`.
+
+    Same layout as :func:`pack_filters`, plus row ``lanes - 1`` (group
+    0's top symbol slot, never a real symbol because ``k < lanes``)
+    holds ``-t`` per motif, so the MXU emits ``score - t`` directly.
+    Thresholds above the u8-saturation range (and padded motif slots)
+    fold to ``-NEG_GUARD``: no integer score sum can reach it, matching
+    the reference's "no u8 score can pass" semantics
+    (``pwm/mod.rs:781-784``).
+    """
+    filters, t_eff = pack_filters(dm_stack, t_scaled, k)
+    lanes = _lanes_for(k)
+    t_fin = np.where(np.isfinite(t_eff[0]), t_eff[0], NEG_GUARD)
+    filters[lanes - 1, :] = -t_fin
+    return filters
+
+
 def supports_fused(m_max: int, k: int, n_motifs: int) -> bool:
-    if k > LANES_PER_ROW_WIDE or m_max < 2:
+    if k >= LANES_PER_ROW_WIDE or m_max < 2:
         return False
     rpb = MAX_MK // _lanes_for(k)
     if -(-m_max // rpb) > MAX_BLOCKS:
@@ -107,6 +137,93 @@ def supports_fused(m_max: int, k: int, n_motifs: int) -> bool:
     if kernels.INTERPRET:
         return True
     return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def _any_kernel(filt_ref, b0_ref, b1_ref, out_ref, *, m_max, k, tile):
+    """Candidate prefilter: per-position max over motifs of
+    ``score - t`` (threshold folded into the matmul via the
+    constant-one lane), written as one int32 per position.
+
+    Compared with :func:`_prefilter_kernel` this skips the [tile, M]
+    mask elementwise passes AND the bit-pack matmul (whose output lane
+    count pads to 128, making it as expensive as the scoring matmul);
+    per-motif hit bits are recovered downstream from a sparse
+    [cap, 128] one-hot matmul over the surviving positions only.
+    Measured at M=1024: 463 Gpos*motif/s vs 246 for the bits kernel
+    (experiments/multi_opt.out).
+    """
+    w = m_max - 1
+    s0 = b0_ref[:].astype(jnp.int32)          # [tile, 1]
+    halo = b1_ref[:w, :].astype(jnp.int32)    # next tile's head
+    seq = jnp.concatenate([s0, halo], axis=0)  # [tile + w, 1]
+    rows = tile + w
+    lanes = _lanes_for(k)
+    rpb = MAX_MK // lanes
+    base = jnp.broadcast_to(seq, (rows, MAX_MK))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, MAX_MK), 1)
+    group = lane // lanes
+    smap = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1) % lanes
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1)
+    n_blocks = -(-m_max // rpb)
+    scores = None
+    for b in range(n_blocks):
+        block_base = base if b == 0 else pltpu.roll(
+            base, rows - b * rpb, 0)
+        rows_here = min(m_max - b * rpb, rpb)
+        seqw = block_base
+        bit = 1
+        while bit < rows_here:
+            seqw = jnp.where((group & bit) != 0,
+                             pltpu.roll(seqw, rows - bit, 0), seqw)
+            bit <<= 1
+        x = seqw[:tile] == smap
+        if b == 0:
+            # constant-one lane (j=0, top slot): filter row lanes-1
+            # holds -t, so part = scores - t
+            x = x | (lane_t == lanes - 1)
+        part = jnp.dot(
+            x.astype(jnp.bfloat16), filt_ref[b * MAX_MK:(b + 1) * MAX_MK, :],
+            preferred_element_type=jnp.float32,
+        )  # [tile, M]
+        scores = part if scores is None else scores + part
+    out_ref[:] = jnp.max(scores, axis=1, keepdims=True).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
+def prefilter_any(seq, filters_t, m_max: int, k: int, tile: int = TILE):
+    """Per-position ``max_mo (score - t)`` as int32 ``[Lp, 1]``.
+
+    ``seq``: int8 ``[Lp]``, ``Lp`` a multiple of ``tile``;
+    ``filters_t``: threshold-folded filters from
+    :func:`pack_filters_any`.  A position is a candidate for *some*
+    motif iff the output is >= 0.  Validity windows (``n_valid``) are
+    NOT applied here -- the sparse per-motif stage and the final keep
+    filter handle them (tail extras only cost candidate capacity).
+    """
+    from . import kernels
+
+    lp = seq.shape[0]
+    assert lp % tile == 0
+    grid = lp // tile
+    view = seq.reshape(lp, 1)
+    kernel = functools.partial(_any_kernel, m_max=m_max, k=k, tile=tile)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: ((i + 1) % grid, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lp, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=kernels.INTERPRET,
+    )(filters_t.astype(jnp.bfloat16), view, view)
 
 
 def _prefilter_kernel(filt_ref, tsc_ref, nval_ref, pow_ref, b0_ref, b1_ref,

@@ -282,18 +282,18 @@ def sharded_argmax(
     jax.jit,
     static_argnames=("chunk", "cap", "m_max", "k", "mesh_holder", "dense"),
 )
-def _sharded_multi_impl(shards, filters, pssms, t_eff, thresholds, n_valid_g,
+def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
                         chunk, cap, m_max, k, mesh_holder, dense=False):
     from ..ops import multi
 
     mesh = mesh_holder.mesh
 
-    def local(shard, filters, pssms, t_eff, thresholds, n_valid_g):
+    def local(shard, filters_t, pssms, thresholds, n_valid_g):
         d = jax.lax.axis_index("genome")
         seq = shard[0]
         nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
         counts, packed = multi.scan_multi_core(
-            seq, nv, filters, pssms, t_eff, thresholds, cap, m_max, k,
+            seq, nv, filters_t, pssms, thresholds, cap, m_max, k,
             dense)
         packed = packed.at[0].add(d * chunk)
         # replicate counters so every host process of a multi-host mesh
@@ -304,10 +304,10 @@ def _sharded_multi_impl(shards, filters, pssms, t_eff, thresholds, n_valid_g,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("genome"), P(), P(), P(), P(), P()),
+        in_specs=(P("genome"), P(), P(), P(), P()),
         out_specs=(P(), P("genome")),
         check_vma=False,  # pallas_call output has no vma annotation
-    )(shards, filters, pssms, t_eff, thresholds, n_valid_g)
+    )(shards, filters_t, pssms, thresholds, n_valid_g)
 
 
 def sharded_multi_scan(
@@ -350,8 +350,8 @@ def sharded_multi_scan(
 
     dm_stack, _ = multi.stack_motifs(
         [d.data.astype(np.float32) for d in dms], k)
-    filters, t_eff = multi_kernel.pack_filters(dm_stack, t_scaled, k)
-    m_pad = filters.shape[1]
+    filters_t = multi_kernel.pack_filters_any(dm_stack, t_scaled, k)
+    m_pad = filters_t.shape[1]
 
     mesh = mesh or make_genome_mesh()
     n_dev = mesh.devices.size
@@ -375,9 +375,8 @@ def sharded_multi_scan(
 
     shards_dev = _put_sharded(shards, mesh)
     args = (
-        jnp.asarray(filters),
+        jnp.asarray(filters_t),
         jnp.asarray(pssm_stack),
-        jnp.asarray(t_eff),
         jnp.asarray(thresholds),
         jnp.asarray(n_valid_g),
     )

@@ -329,12 +329,12 @@ class MultiScanner:
         mcount = len(self.pssms)
         k = self.pssms[0].alphabet.size
         fused = multi_kernel.supports_fused(m_max, k, mcount)
-        # the fused prefilter materializes [segment, M/16] int32 bits;
-        # the windows path materializes [segment, M] i32 scores PLUS the
-        # [segment, m_max*K] bf16 one-hot -- budget segments accordingly
-        # (bf16 elements count half an i32)
+        # the fused any-prefilter materializes one int32 per position
+        # (plus bounded [cap, M] stages); the windows path materializes
+        # [segment, M] i32 scores PLUS the [segment, m_max*K] bf16
+        # one-hot -- budget segments accordingly (bf16 counts half)
         if fused:
-            density = max(mcount, 1) // 16 + 1
+            density = 4
         else:
             density = max(mcount, 1) + (m_max * k + 1) // 2
         seg = max(unit, (self.MAX_SEGMENT_ELEMS // density) // unit * unit)
@@ -348,10 +348,9 @@ class MultiScanner:
             self.pssms[0].alphabet.default_index)
 
         if fused:
-            filters, t_eff = multi_kernel.pack_filters(
+            filters_t = multi_kernel.pack_filters_any(
                 self.dm_stack, self.t_scaled, k)
-            filt_dev = jnp.asarray(filters)
-            te_dev = jnp.asarray(t_eff)
+            filt_dev = jnp.asarray(filters_t)
         dm_dev = jnp.asarray(self.dm_stack)
         pssm_dev = jnp.asarray(self.pssm_stack)
         len_dev = jnp.asarray(self.lengths)
@@ -375,7 +374,6 @@ class MultiScanner:
                         jnp.asarray(n_here2d),
                         filt_dev,
                         pssm_dev,
-                        te_dev,
                         th_dev,
                         chunk_len,
                         cap,

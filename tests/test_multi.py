@@ -187,3 +187,59 @@ def test_rescore_multi_short_motif_tail():
         np.float32,
     )
     assert np.array_equal(got, expected)
+
+
+def test_prefilter_any_parity(genome):
+    """The any-candidate prefilter (interpret mode) flags exactly the
+    positions where some motif's unclamped discrete score >= its scaled
+    threshold (within each motif's valid window it must agree with the
+    windows-path scores; tail extras are allowed by design)."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import kernels, multi, multi_kernel
+
+    motifs = make_motifs()
+    k = motifs[0].alphabet.size
+    dms = [p.to_discrete() for p in motifs]
+    dm_stack, lengths = multi.stack_motifs(
+        [d.data.astype(np.float32) for d in dms], k)
+    m_max = int(lengths.max())
+    thresholds = [-10.0, -3.0, -5.0]
+    t_scaled = np.asarray(
+        [d.scale(t) for d, t in zip(dms, thresholds)], np.int64)
+    filters_t = multi_kernel.pack_filters_any(dm_stack, t_scaled, k)
+
+    data = np.asarray(genome.data, np.int8)
+    tile = multi_kernel.TILE
+    lp = -(-data.size // tile) * tile
+    flat = np.full(lp, k - 1, np.int8)
+    flat[:data.size] = data
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        maxv = np.asarray(multi_kernel.prefilter_any(
+            jnp.asarray(flat), jnp.asarray(filters_t), m_max, k))
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    got_any = maxv[:, 0] >= 0
+
+    # oracle: unclamped integer scores per motif via numpy
+    want_any = np.zeros(lp, bool)
+    for mo, dm in enumerate(dms):
+        m = len(dm)
+        dv = dm.data.astype(np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(
+            flat.astype(np.int64), m)
+        raw = dv[np.arange(m)[None, :], win].sum(1)
+        n_valid = data.size - m + 1
+        ok = np.zeros(lp, bool)
+        # pack_filters_any maps thresholds > 255 to never-pass
+        if t_scaled[mo] <= 255:
+            ok[: raw.size] = raw >= t_scaled[mo]
+        want_any[: n_valid] |= ok[: n_valid]
+
+    n_min = int(data.size - lengths.max() + 1)
+    # within the strictest valid window the sets must agree exactly
+    assert np.array_equal(got_any[:n_min], want_any[:n_min])
