@@ -24,8 +24,8 @@ The primary metric is the exact-f32 scan; ``secondary`` reports the
 two-pass Scanner wall time and the fused multi-motif prefilter rate
 (the reference's own genome-scale paths).  Timing uses in-jit
 repetition slopes with a wide rep span (the TPU sits behind a tunnel
-whose ~30 ms jitter would otherwise drown per-scan time; the span puts
->=20 ms of device work between the two rep counts).
+whose ~30 ms jitter can inflate small-span slopes 3x; the span here
+puts >=150 ms of device work between the two rep counts).
 
 Prints exactly one JSON line whose first four keys follow the driver
 contract: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
@@ -59,7 +59,7 @@ def build_inputs():
     return pssm, seq
 
 
-def bench_slope(fn_carry, args, probe, r_lo=32, r_hi=512, trials=4):
+def bench_slope(fn_carry, args, probe, r_lo=32, r_hi=1024, trials=4):
     """Per-iteration device time via in-jit repetition slopes.
 
     See ``tools/perf.py``: the remote-TPU tunnel neither synchronizes on

@@ -420,8 +420,49 @@ def bench_meshone(ctx):
            f"plain {t_plain:.3f}s vs mesh {t_mesh:.3f}s, identical hits")
 
 
+def bench_clistream(ctx):
+    """>32 MB multi-record FASTA through the streaming CLI: wall time
+    and peak RSS (must stay flat regardless of file size)."""
+    import resource
+    import subprocess
+    import tempfile
+
+    rng = np.random.default_rng(29)
+    d = tempfile.mkdtemp()
+    mot = os.path.join(d, "m.jaspar16")
+    with open(mot, "w") as fh:
+        fh.write(">m1 bench\n")
+        for sym, row in zip("ACGT", np.eye(4, dtype=int) * 2):
+            fh.write(f"{sym} [ " + " ".join(
+                str(v) for v in np.tile(row, 3)[:12]) + " ]\n")
+    fa = os.path.join(d, "big.fa")
+    n_rec, rec_len = 7000, 5000  # ~35 MB of sequence
+    with open(fa, "w") as fh:
+        lut = np.frombuffer(b"ACGT", dtype="S1")
+        for i in range(n_rec):
+            body = b"".join(lut[rng.integers(0, 4, size=rec_len)]).decode()
+            fh.write(f">r{i}\n{body}\n")
+    out = os.path.join(d, "hits.tsv")
+    cmd = [sys.executable, "-m", "lightmotif_tpu.cli", "-m", mot,
+           "--format", "jaspar16", "-s", fa, "-o", out, "-q",
+           "--abs-threshold", "-4"]
+    env = dict(os.environ)
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, env=env)
+    wall = time.perf_counter() - t0
+    assert proc.returncode == 0
+    rss_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
+    with open(out) as fh:
+        n_hits = sum(1 for _ in fh) - 1
+    record("clistream", f"CLI: {n_rec} records x {rec_len} bp (~35 MB)",
+           round(wall, 1), "s",
+           f"{n_hits} hits; child peak RSS {rss_mb:.0f} MB "
+           f"({n_rec * rec_len / wall / 1e6:.0f} Mbp/s incl. startup)")
+
+
 WORKLOADS = {
     "f32": bench_f32,
+    "clistream": bench_clistream,
     "u8": bench_u8,
     "argmax": bench_argmax,
     "threshold": bench_threshold,

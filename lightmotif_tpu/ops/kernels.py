@@ -16,9 +16,10 @@ its memory layout to the SIMD width (32-lane Farrar striping with AVX2
 * the per-row lookup ``A_j[p] = w[j, s[p]]`` is ONE hardware sublane
   gather (``take_along_axis`` on the 8-row block against a
   lane-broadcast ``[8, 1]`` table column) -- the true TPU analogue of
-  AVX2's ``permutevar8x32_ps`` (``avx2.rs:101-199``), and ~4x faster
-  than the K-way select chain it replaced in round 1 (the selects cost
-  5 ops per looked-up value; the gather costs 1);
+  AVX2's ``permutevar8x32_ps`` (``avx2.rs:101-199``), +25% over the
+  K-way select chain it replaced in round 1 (selects cost 5 ops per
+  looked-up value; the gather costs 1, bringing the kernel within ~6%
+  of its no-lookup structural ceiling);
 * scoring accumulates ``acc += roll(A_j, -j lanes)`` for motif rows
   ``j = 0..m-1``.  The adds run in ascending ``j`` order, so each f32
   score is bit-identical to the reference's sequential sum
@@ -28,8 +29,11 @@ its memory layout to the SIMD width (32-lane Farrar striping with AVX2
   to 255 at the end, which equals the reference's stepwise saturating
   add (partial sums are monotone non-decreasing).
 
-Measured on v5e (experiments/f32_probe.out, g8_verify.out): ~100 Gpos/s
-exact f32 full-genome scoring vs ~24 for the round-1 select chain.
+Measured on v5e (experiments/g8_verify.out; >=150 ms rep spans,
+full-genome bit parity): 29.3-30.3 Gpos/s exact f32 full-genome
+scoring vs 24.3 for the round-1 select chain, within ~6% of the ~32
+Gpos/s no-lookup skeleton -- the structural ceiling the serial-order
+f32 accumulation imposes.
 """
 
 from __future__ import annotations

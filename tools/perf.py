@@ -57,15 +57,17 @@ def repeat_time(make_op, r_lo: int = 2, r_hi: int = 10, trials: int = 5):
         results[r] = best
     per_iter = (results[r_hi] - results[r_lo]) / (r_hi - r_lo)
     # The slope is only trustworthy when the rep-span delta dwarfs the
-    # tunnel's ~milliseconds of round-trip jitter; small spans produced
-    # phantom 5x "speedups" in early measurements.
-    if results[r_hi] - results[r_lo] < 0.01:
+    # tunnel's ~30 ms round-trip jitter.  Spans of 5-8 ms produced
+    # phantom 3-5x "speedups" TWICE (round-1 adds-only "70 Gpos/s",
+    # round-2 interim gather "102 Gpos/s" -- both collapse to ~30-32 at
+    # >=150 ms spans); treat anything under ~100 ms as suspect.
+    if results[r_hi] - results[r_lo] < 0.1:
         import warnings
 
         warnings.warn(
             f"repeat_time span too small ({results[r_hi] - results[r_lo]:.4f}s"
-            f" between r={r_lo} and r={r_hi}); increase r_hi -- the slope is"
-            " dominated by host jitter",
+            f" between r={r_lo} and r={r_hi}); increase r_hi -- spans under"
+            " ~100 ms have produced 3x-inflated readings on this tunnel",
             stacklevel=2,
         )
     return per_iter, results
