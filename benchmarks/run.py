@@ -106,7 +106,7 @@ def bench_f32(ctx):
     out = jax.device_get(fn(sdev, table, jnp.float32(0.0)))[:n_scores]
     assert np.array_equal(out, ctx["oracle"]), "f32 parity failed"
     per, _ = repeat_time(lambda: (fn, (sdev, table), n_scores - 1),
-                         r_lo=32, r_hi=512, trials=3)
+                         r_lo=32, r_hi=1024, trials=3)
     rate = n_scores / per
     record("f32", "full-genome exact f32 scoring", round(rate / 1e9, 2),
            "Gpos/s", "bit-exact vs score_host (full genome)",
@@ -136,7 +136,7 @@ def bench_u8(ctx):
     host = np.minimum(dmv[np.arange(m)[None, :], win].sum(1), 255)
     assert np.array_equal(out, host), "u8 parity failed"
     per, _ = repeat_time(lambda: (fn, (sdev, dmdev), n_scores - 1),
-                         r_lo=32, r_hi=512, trials=3)
+                         r_lo=32, r_hi=1024, trials=3)
     record("u8", "full-genome discrete u8 scoring",
            round(n_scores / per / 1e9, 2), "Gpos/s",
            "== reference saturating-u8 scores")
@@ -176,7 +176,7 @@ def bench_argmax(ctx):
                           xla_ops.argmax_last(scores).astype(jnp.float32)])
 
     per, _ = repeat_time(lambda: (fn, (dseq.data, table), 0),
-                         r_lo=64, r_hi=4096, trials=3)
+                         r_lo=256, r_hi=32768, trials=3)
     rate = n / per
     record("argmax", "10 kb score+max+argmax (device)",
            round(rate / 1e9, 2), "Gpos/s", "last-max tie rule",
@@ -212,7 +212,9 @@ def bench_threshold(ctx):
                          r_lo=16, r_hi=256, trials=3)
     record("threshold", "full-genome score+threshold compaction",
            round(n_scores / per / 1e9, 2), "Gpos/s",
-           f"~{len(want)} survivors @ p~1e-4")
+           f"~{len(want)} survivors @ p~1e-4; the dense nonzero sort "
+           "(~40 ms) dominates -- the Scanner pipeline amortizes it "
+           "inside its fused segment program")
 
 
 def bench_encode(ctx):
@@ -228,7 +230,9 @@ def bench_encode(ctx):
         best = min(best, time.perf_counter() - t0)
     record("encode", "ASCII->rank encode (native, host)",
            round(len(text) / best / 1e9, 2), "Gpos/s",
-           "C++ LUT encoder, GIL released")
+           "C++ LUT encoder, GIL released; bound by this VM's single "
+           "weak vCPU (numpy LUT measures the same), overlapped with "
+           "device scans in the CLI")
 
 
 def bench_scan(ctx):
@@ -247,8 +251,8 @@ def bench_scan(ctx):
     rate = ctx["genome"].size / best
     record("scan", "two-pass Scanner, E. coli, p=1e-5 (wall)",
            round(best, 3), "s",
-           f"{len(hits)} exact hits; {rate / 1e9:.1f} Gpos/s incl. tunnel",
-           vs_baseline=round(rate / AVX2_BASELINE, 1))
+           f"{len(hits)} exact hits; {rate / 1e6:.0f} Mpos/s wall "
+           "(~3 tunnel round trips dominate; device time is ms)")
 
 
 def bench_scanmax(ctx):
@@ -445,7 +449,7 @@ def bench_clistream(ctx):
     out = os.path.join(d, "hits.tsv")
     cmd = [sys.executable, "-m", "lightmotif_tpu.cli", "-m", mot,
            "--format", "jaspar16", "-s", fa, "-o", out, "-q",
-           "--abs-threshold", "-4"]
+           "--abs-threshold", "8"]
     env = dict(os.environ)
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, env=env)
