@@ -308,7 +308,7 @@ class MultiScanner:
     #: elements) so device memory stays bounded for big motif sets.
     MAX_SEGMENT_ELEMS = 128 * 1024 * 1024
 
-    def collect(self) -> list:
+    def _collect_raw(self):
         import jax
         import jax.numpy as jnp
 
@@ -411,12 +411,26 @@ class MultiScanner:
             off += seg
 
         if not out_pos:
-            return []
+            return [], [], []
         positions = np.concatenate(out_pos)
         motif_ids = np.concatenate(out_mot)
         scores = np.concatenate(out_sc)
         order = np.lexsort((positions, motif_ids))
+        return motif_ids[order], positions[order], scores[order]
+
+    def collect_arrays(self):
+        """Hits as three NumPy arrays ``(motif_ids, positions, scores)``
+        ordered by (motif, position) -- the allocation-free form for
+        database-scale scans (thousands of motifs x genomes), where
+        building one Python object per hit dominates wall time."""
+        motif_ids, positions, scores = self._collect_raw()
+        return (np.asarray(motif_ids, np.int32),
+                np.asarray(positions, np.int64),
+                np.asarray(scores, np.float32))
+
+    def collect(self) -> list:
+        motif_ids, positions, scores = self._collect_raw()
         return [
-            MultiHit(int(motif_ids[i]), int(positions[i]), float(scores[i]))
-            for i in order
+            MultiHit(int(mo), int(p), float(s))
+            for mo, p, s in zip(motif_ids, positions, scores)
         ]

@@ -243,3 +243,13 @@ def test_prefilter_any_parity(genome):
     n_min = int(data.size - lengths.max() + 1)
     # within the strictest valid window the sets must agree exactly
     assert np.array_equal(got_any[:n_min], want_any[:n_min])
+
+
+def test_collect_arrays_matches_collect(genome):
+    motifs = make_motifs()
+    ms = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0])
+    mo, pos, sc = ms.collect_arrays()
+    hits = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0]).collect()
+    assert mo.dtype == np.int32 and pos.dtype == np.int64
+    assert [(h.motif, h.position, h.score) for h in hits] == \
+        list(zip(mo.tolist(), pos.tolist(), sc.tolist()))
