@@ -346,16 +346,17 @@ def bench_jaspar(ctx):
     ths = [p.score_distribution().score(1e-6) for p in pssms]
     seq = ctx["seq"]
     ms = MultiScanner(pssms, seq, thresholds=ths)
-    hits = ms.collect()  # warm
+    mo, _, _ = ms.collect_arrays()  # warm
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        MultiScanner(pssms, seq, thresholds=ths).collect()
+        MultiScanner(pssms, seq, thresholds=ths).collect_arrays()
         best = min(best, time.perf_counter() - t0)
     gpm = ctx["genome"].size * len(pssms) / best
     record("jaspar", f"{len(pssms)} real JASPAR motifs x E. coli (wall)",
            round(best, 3), "s",
-           f"{len(hits)} exact hits; {gpm / 1e9:.0f} Gpos*motif/s e2e",
+           f"{len(mo)} exact hits; {gpm / 1e9:.0f} Gpos*motif/s e2e "
+           "(wall incl. tunnel transfers)",
            vs_baseline=round(gpm / AVX2_BASELINE, 1))
 
 
