@@ -17,7 +17,7 @@ Correctness gates before any timing:
   reference's position-391677 check on the real E. coli genome, which
   is not redistributable in this environment): the best hit of the
   deterministic seed-0xECC011 genome is position 3,254,602 with score
-  f32-bits 0x419FC9C8 (18.986465...), where the tie rule must prefer
+  f32-bits 0x4197E448 (18.986465...), where the tie rule must prefer
   it over position 2,558,379 scoring the *identical* f32 value.
 
 The primary metric is the exact-f32 scan; ``secondary`` reports the

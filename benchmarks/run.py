@@ -3,9 +3,9 @@
 
 One command regenerates every number in RESULTS.md on the attached TPU:
 
-    python benchmarks/run.py              # all workloads
-    python benchmarks/run.py -k f32,enc   # a subset
-    python benchmarks/run.py --json       # machine-readable only
+    python benchmarks/run.py                 # all workloads
+    python benchmarks/run.py -k f32,encode   # a subset
+    python benchmarks/run.py --json          # machine-readable only
 
 Workload parity with the reference bench programs:
 
@@ -490,8 +490,14 @@ def main(argv=None):
     ap.add_argument("--json", action="store_true",
                     help="suppress the markdown table")
     args = ap.parse_args(argv)
-    names = list(WORKLOADS) if not args.k else [
-        n for n in args.k.split(",") if n in WORKLOADS]
+    if args.k:
+        names = args.k.split(",")
+        unknown = [n for n in names if n not in WORKLOADS]
+        if unknown:
+            ap.error(f"unknown workload(s) {unknown}; "
+                     f"choose from {sorted(WORKLOADS)}")
+    else:
+        names = list(WORKLOADS)
 
     from lightmotif_tpu import EncodedSequence
 

@@ -132,6 +132,57 @@ def run_case(seq, table, n_scores, mode):
     )(table, view, view).reshape(-1)
 
 
+def _u8o_kernel(tab_ref, b0_ref, b1_ref, out_ref, *, m, k, rows, grid,
+                n_scores, bb):
+    """Discrete path writing int8 (4x less output traffic)."""
+    i = pl.program_id(0)
+    w = m - 1
+    b0 = b0_ref[:].astype(jnp.int32)
+    halo_src = b1_ref[:, :w].astype(jnp.int32)
+    wrapped = pltpu.roll(halo_src, 8 - 1, axis=0)
+    halo = jnp.where(i == grid - 1, wrapped, halo_src)
+    window = jnp.concatenate([b0, halo], axis=1)
+    width = bb + w
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def lookup(j):
+        col = jnp.full((8, 1), tab_ref[j, k - 1])
+        for s in range(k - 2, -1, -1):
+            col = jnp.where(sub == s, tab_ref[j, s], col)
+        table = jnp.broadcast_to(col, (8, width))
+        return jnp.take_along_axis(table, window, axis=0)
+
+    acc = lookup(0)
+    for j in range(1, m):
+        acc = acc + pltpu.roll(lookup(j), width - j, axis=1)
+    acc = jnp.minimum(acc[:, :bb], 255.0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, bb), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (8, bb), 1)
+    pos = c_ids * rows + i * bb + l_ids
+    out_ref[:] = jnp.where(pos < n_scores, acc, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_scores",))
+def u8o_score(seq, table, n_scores):
+    lp = seq.shape[0]
+    rows = lp // 8
+    grid = rows // BB
+    m, k = table.shape
+    view = seq.reshape(8, rows)
+    kernel = functools.partial(_u8o_kernel, m=m, k=k, rows=rows,
+                               grid=grid, n_scores=n_scores, bb=BB)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=_specs(rows, grid, True),
+        out_specs=pl.BlockSpec((8, BB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, rows), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(table, view, view).reshape(-1)
+
+
 def main():
     from lightmotif_tpu import CountMatrix, EncodedSequence
 
@@ -173,6 +224,28 @@ def main():
                  "vs_avx2": round(n_scores / per / 1.029e9, 1)})
         except Exception as e:
             log({"case": mode, "error": repr(e)[:300]})
+
+    # u8 path with int8 output (4x less write traffic)
+    try:
+        dm = pssm.to_discrete()
+        dmtab = jnp.asarray(dm.data.astype(np.float32))
+        fn = lambda s, p, carry: u8o_score(s, p + carry, n_scores)
+        out = jax.device_get(fn(sdev, dmtab, jnp.float32(0.0)))
+        m2 = len(pssm)
+        win = np.lib.stride_tricks.sliding_window_view(
+            flat[:200_000 + m2 - 1].astype(np.int64), m2)
+        dv = dm.data.astype(np.int64)
+        want = np.minimum(dv[np.arange(m2)[None, :], win].sum(1), 255)
+        ok = bool(np.array_equal(out[:200_000].astype(np.int64), want))
+        log({"case": "u8_i8out", "parity_200k": ok})
+        per, raw = repeat_time(
+            lambda: (fn, (sdev, dmtab), n_scores - 1),
+            r_lo=32, r_hi=1024, trials=3)
+        log({"case": "u8_i8out",
+             "span_ms": round((raw[1024] - raw[32]) * 1e3, 1),
+             "gpos_per_s": round(n_scores / per / 1e9, 2)})
+    except Exception as e:
+        log({"case": "u8_i8out", "error": repr(e)[:300]})
 
     log({"event": "done"})
 

@@ -282,37 +282,61 @@ def _read_flights(args, alphabet, gap: int, flight_bytes: int):
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Enqueue unless the consumer has gone away (early generator
+        close must not leave this thread parked in a full queue)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             flight, total = [], 0
             for record in read_fasta(args.sequences):
+                if stop.is_set():
+                    return
                 seq = EncodedSequence.encode_lossy(record.sequence, alphabet)
                 need = len(seq) + gap
                 if flight and total + need > flight_bytes:
-                    q.put((flight, False, False))
+                    if not put((flight, False, False)):
+                        return
                     flight, total = [], 0
                 if need > flight_bytes:
-                    q.put(([(record, seq)], True, False))
+                    if not put(([(record, seq)], True, False)):
+                        return
                 else:
                     flight.append((record, seq))
                     total += need
             if flight:
-                q.put((flight, False, True))
-            q.put(None)
+                put((flight, False, True))
+            put(None)
         except BaseException as e:  # surface reader errors in the main thread
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # unblock a parked producer
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)
 
 
 if __name__ == "__main__":

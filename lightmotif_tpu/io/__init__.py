@@ -158,7 +158,8 @@ def load(file=None, format: str = "jaspar16", protein: bool = False, *,
         yield motif
 
 
-def loads(text: str, format: str = "jaspar16", protein: bool = False):
-    """Like :func:`load` but from a string."""
-    return load(_stdio.StringIO(text) if isinstance(text, str) else text,
-                format=format, protein=protein)
+def loads(text, format: str = "jaspar16", protein: bool = False):
+    """Like :func:`load` but from in-memory text (str or bytes)."""
+    if isinstance(text, (str, bytes)):
+        return load(data=text, format=format, protein=protein)
+    return load(text, format=format, protein=protein)

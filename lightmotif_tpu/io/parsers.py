@@ -244,17 +244,42 @@ class MemeFile:
         self.background = background
         self._iter = record_iter
         self._records = None
+        self._consumed = False
 
     @property
     def records(self):
         if self._records is None:
+            if self._consumed:
+                # materializing now would silently drop the records the
+                # caller already consumed from the stream
+                raise RuntimeError(
+                    "MemeFile records were partially consumed by "
+                    "iteration; materialize .records (or len()) before "
+                    "iterating, or re-read the file")
             self._records = list(self._iter)
         return self._records
 
     def __iter__(self):
         if self._records is not None:
             return iter(self._records)
-        return self._iter
+
+        def stream():
+            first = True
+            while True:
+                if first and self._records is not None:
+                    # .records / len() materialized before the first
+                    # pull (list() probes __len__ as a length hint)
+                    yield from self._records
+                    return
+                try:
+                    rec = next(self._iter)
+                except StopIteration:
+                    return
+                first = False
+                self._consumed = True
+                yield rec
+
+        return stream()
 
     def __len__(self):
         return len(self.records)

@@ -29,6 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: Candidate positions per sparse per-motif block (bounds the
+#: [block, M] intermediates regardless of how far the exact-count
+#: retry ratchets the candidate capacity).
+PHASE_C_BLOCK = 1 << 16
+
 __all__ = [
     "stack_motifs",
     "score_multi_u8",
@@ -164,39 +169,58 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     maxv = multi_kernel.prefilter_any(chunk, filters_t, m_max, k)
     any_mask = maxv.reshape(-1) >= 0
     pos_count, pos_idx, pos_valid = xla_ops.compact_mask(any_mask, cap, dense)
-    safe_pos = jnp.minimum(pos_idx, chunk_len - 1)
 
-    # sparse per-motif stage: one-hot candidate windows (same lane
-    # layout as the kernel: lane = (j % rpb) * lanes + s, block j//rpb)
-    # against the same folded filters -> part = score - t, exactly
-    gidx = jnp.clip(
-        safe_pos[:, None] + jnp.arange(m_max)[None, :], 0, chunk_len - 1)
-    win = chunk[gidx].astype(jnp.int32)  # [cap, m_max]
-    oh = win[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, lanes), 2)
-    pad_rows = n_blocks * rpb - m_max
-    if pad_rows:
-        oh = jnp.pad(oh, ((0, 0), (0, pad_rows), (0, 0)))
-    x = oh.reshape(cap, n_blocks * multi_kernel.MAX_MK)
-    x = x.at[:, lanes - 1].set(True)  # constant lane carries -t
-    part = jnp.dot(
-        x.astype(jnp.bfloat16), filters_t.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # [cap, m_pad] == score - t
-    mask = (part >= 0) \
-        & (pos_idx[:, None] < n_valid_here[0][None, :]) \
-        & (pos_idx < chunk_len)[:, None]
-    pairs_total = jnp.sum(mask.astype(jnp.int32))
-
-    # halfword bit-pack (block-diagonal powers of two; sums of distinct
-    # 2^b <= 65535 are exact in the f32 accumulator)
+    # halfword bit-pack selector (block-diagonal powers of two; sums of
+    # distinct 2^b <= 65535 are exact in the f32 accumulator)
     powers = np.zeros((m_pad, n_words), np.float32)
     for mo in range(m_pad):
         powers[mo, mo // bpw] = float(1 << (mo % bpw))
-    words = jnp.dot(
-        mask.astype(jnp.bfloat16), jnp.asarray(powers, jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # [cap, W]
+    pow_dev = jnp.asarray(powers, jnp.bfloat16)
+    filt_bf = filters_t.astype(jnp.bfloat16)
+
+    def phase_c(pos_blk):
+        """Per-motif hit words for one block of candidate positions.
+
+        One-hot candidate windows (same lane layout as the kernel:
+        lane = (j % rpb) * lanes + s, block j // rpb) against the same
+        folded filters -> part = score - t, exactly."""
+        blk = pos_blk.shape[0]
+        safe = jnp.minimum(pos_blk, chunk_len - 1)
+        gidx = jnp.clip(
+            safe[:, None] + jnp.arange(m_max)[None, :], 0, chunk_len - 1)
+        win = chunk[gidx].astype(jnp.int32)  # [blk, m_max]
+        oh = win[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, lanes), 2)
+        pad_rows = n_blocks * rpb - m_max
+        if pad_rows:
+            oh = jnp.pad(oh, ((0, 0), (0, pad_rows), (0, 0)))
+        x = oh.reshape(blk, n_blocks * multi_kernel.MAX_MK)
+        x = x.at[:, lanes - 1].set(True)  # constant lane carries -t
+        part = jnp.dot(
+            x.astype(jnp.bfloat16), filt_bf,
+            preferred_element_type=jnp.float32,
+        )  # [blk, m_pad] == score - t
+        mask = (part >= 0) \
+            & (pos_blk[:, None] < n_valid_here[0][None, :]) \
+            & (pos_blk < chunk_len)[:, None]
+        wrds = jnp.dot(
+            mask.astype(jnp.bfloat16), pow_dev,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [blk, W]
+        return wrds, jnp.sum(mask.astype(jnp.int32))
+
+    # the [blk, m_pad] intermediates scale with the candidate capacity,
+    # which the exact-count retry can ratchet far past the default;
+    # process candidates in fixed blocks so device memory stays bounded
+    # (ratcheted caps are powers of two, so they divide evenly)
+    blk = PHASE_C_BLOCK
+    if cap > blk and cap % blk == 0:
+        words, pairs_blk = jax.lax.map(
+            phase_c, pos_idx.reshape(cap // blk, blk))
+        words = words.reshape(cap, n_words)
+        pairs_total = jnp.sum(pairs_blk)
+    else:
+        words, pairs_total = phase_c(pos_idx)
 
     # pairs extract through two more SMALL compactions -- candidate
     # words, then bits of surviving words -- so work scales with hits,

@@ -226,6 +226,17 @@ def prefilter_any(seq, filters_t, m_max: int, k: int, tile: int = TILE):
     )(filters_t.astype(jnp.bfloat16), view, view)
 
 
+# ---------------------------------------------------------------------------
+# Reference formulation: per-motif bit output.  The production path is
+# prefilter_any (above) -- this kernel materializes [L, M/16] hit words
+# directly and is retained as the independently-testable reference for
+# the any+sparse pipeline (tests/test_multi.py::test_prefilter_bits_parity)
+# and as the comparison baseline in experiments/.  At M=1024 it runs at
+# half the any-kernel's rate (the [tile, M] mask passes plus a bit-pack
+# matmul whose 64-word output pads to a full 128-lane MXU pass).
+# ---------------------------------------------------------------------------
+
+
 def _prefilter_kernel(filt_ref, tsc_ref, nval_ref, pow_ref, b0_ref, b1_ref,
                       out_ref, *, m_max, k, tile, grid, n_words):
     i = pl.program_id(0)

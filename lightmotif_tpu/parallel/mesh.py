@@ -341,7 +341,7 @@ def sharded_multi_scan(
         raise ValueError(
             "sharded multi-scan requires the fused prefilter "
             f"(2 <= m <= {max_m} for K = {k}, "
-            f"K <= {multi_kernel.LANES_PER_ROW_WIDE}, TPU platform)")
+            f"K <= {multi_kernel.LANES_PER_ROW_WIDE - 1}, TPU platform)")
     if np.isscalar(thresholds):
         thresholds = [float(thresholds)] * mcount
     thresholds = np.asarray(thresholds, np.float32)

@@ -319,7 +319,7 @@ class MultiScanner:
         n_valid = np.maximum(dseq.length - self.lengths + 1, 0).astype(np.int32)
         n_total = int(n_valid.max(initial=0))
         if n_total == 0:
-            return []
+            return [], [], []
 
         from .ops import multi_kernel
 

@@ -446,3 +446,19 @@ def test_prodoric_transfac_database():
     cm = first.to_counts()
     assert len(cm) == 15
     assert cm.consensus()[:5] == "GTTGA"
+
+
+def test_meme_partial_then_records_raises():
+    """.records after partially consuming the stream raises instead of
+    silently returning a truncated list (review finding)."""
+    f = read_meme(io.StringIO(MEME))
+    next(iter(f))
+    with pytest.raises(RuntimeError):
+        _ = f.records
+
+
+def test_meme_list_materializes_consistently():
+    """list(MemeFile) (which probes __len__ as a length hint mid-iter)
+    returns the full record list."""
+    recs = list(read_meme(io.StringIO(MEME)))
+    assert [r.id for r in recs] == ["crp", "lexA"]

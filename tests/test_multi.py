@@ -253,3 +253,76 @@ def test_collect_arrays_matches_collect(genome):
     assert mo.dtype == np.int32 and pos.dtype == np.int64
     assert [(h.motif, h.position, h.score) for h in hits] == \
         list(zip(mo.tolist(), pos.tolist(), sc.tolist()))
+
+
+def test_multi_empty_sequence():
+    """Motifs longer than the sequence: no hits, no crash."""
+    short = EncodedSequence.encode("ACGT")
+    motifs = make_motifs()  # all longer than 4
+    assert MultiScanner(motifs, short, -5.0).collect() == []
+    mo, pos, sc = MultiScanner(motifs, short, -5.0).collect_arrays()
+    assert len(mo) == 0 and len(pos) == 0 and len(sc) == 0
+
+
+def test_prefilter_bits_parity(genome):
+    """The retained bits-output prefilter (reference formulation) flags
+    the same candidate set the production any-prefilter does."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import kernels, multi, multi_kernel
+
+    motifs = make_motifs()
+    k = motifs[0].alphabet.size
+    dms = [p.to_discrete() for p in motifs]
+    dm_stack, lengths = multi.stack_motifs(
+        [d.data.astype(np.float32) for d in dms], k)
+    m_max = int(lengths.max())
+    thresholds = [-10.0, -3.0, -5.0]
+    t_scaled = np.asarray(
+        [d.scale(t) for d, t in zip(dms, thresholds)], np.int64)
+    filters, t_eff = multi_kernel.pack_filters(dm_stack, t_scaled, k)
+    filters_t = multi_kernel.pack_filters_any(dm_stack, t_scaled, k)
+
+    data = np.asarray(genome.data, np.int8)
+    tile = multi_kernel.TILE
+    lp = -(-data.size // tile) * tile
+    flat = np.full(lp, k - 1, np.int8)
+    flat[:data.size] = data
+    n_valid = np.zeros((1, filters.shape[1]), np.int32)
+    n_valid[0, :len(motifs)] = data.size - lengths + 1
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        bits = np.asarray(multi_kernel.prefilter_bits(
+            jnp.asarray(flat), jnp.asarray(filters), jnp.asarray(t_eff),
+            jnp.asarray(n_valid), m_max, k))
+        maxv = np.asarray(multi_kernel.prefilter_any(
+            jnp.asarray(flat), jnp.asarray(filters_t), m_max, k))
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+
+    # within every motif's valid window the any flag == any bit set
+    n_min = int(data.size - lengths.max() + 1)
+    assert np.array_equal((bits[:n_min] != 0).any(axis=1),
+                          maxv[:n_min, 0] >= 0)
+
+
+def test_phase_c_chunked_matches_single(genome, monkeypatch):
+    """The blocked sparse per-motif stage (engaged when the candidate
+    capacity exceeds PHASE_C_BLOCK) produces identical hits."""
+    from lightmotif_tpu.ops import multi
+
+    motifs = make_motifs()
+    ref = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0]).collect()
+    monkeypatch.setattr(multi, "PHASE_C_BLOCK", 64)
+    jax.clear_caches()  # the block size is baked into traced programs
+    try:
+        # capacity 256 > 64 and divisible -> lax.map over 4 blocks
+        got = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0],
+                           capacity=256).collect()
+    finally:
+        jax.clear_caches()
+    assert [(h.motif, h.position, h.score) for h in got] == \
+        [(h.motif, h.position, h.score) for h in ref]
