@@ -212,9 +212,9 @@ def bench_threshold(ctx):
                          r_lo=16, r_hi=256, trials=3)
     record("threshold", "full-genome score+threshold compaction",
            round(n_scores / per / 1e9, 2), "Gpos/s",
-           f"~{len(want)} survivors @ p~1e-4; the dense nonzero sort "
-           "(~40 ms) dominates -- the Scanner pipeline amortizes it "
-           "inside its fused segment program")
+           f"~{len(want)} survivors @ p~1e-4; cumsum+searchsorted "
+           "k-th-set-bit compaction (the nonzero full sort it replaced "
+           "cost ~40 ms/pass)")
 
 
 def bench_encode(ctx):

