@@ -44,11 +44,12 @@ __all__ = ["prefilter_any", "prefilter_bits", "pack_filters_any",
 #: matmul exact in f32).
 BITS_PER_WORD = 16
 
-#: Positions per grid tile.  The tile sweep at M=1024 measured 463 /
-#: 480 / 494 Gpos*motif/s for 2048 / 4096 / 8192
-#: (experiments/multi_opt.out) -- bigger tiles amortize grid-step
-#: overheads; [8192, 1024] f32 scores fit VMEM with room to spare.
-TILE = 8192
+#: Maximum positions per grid tile (also the segment alignment unit).
+#: The transposed-construction sweep measured monotone gains up to
+#: 32768 at every M (experiments/multi_opt2.out); prefilter_any picks
+#: the largest power-of-two tile whose [m_pad, tile] score block fits
+#: the VMEM budget (every choice divides TILE, so alignment holds).
+TILE = 32768
 
 #: Contraction size (one MXU pass).
 MAX_MK = 128
@@ -142,58 +143,69 @@ def supports_fused(m_max: int, k: int, n_motifs: int) -> bool:
 def _any_kernel(filt_ref, b0_ref, b1_ref, out_ref, *, m_max, k, tile):
     """Candidate prefilter: per-position max over motifs of
     ``score - t`` (threshold folded into the matmul via the
-    constant-one lane), written as one int32 per position.
+    constant-one slot), written as one int32 per position.
 
-    Compared with :func:`_prefilter_kernel` this skips the [tile, M]
-    mask elementwise passes AND the bit-pack matmul (whose output lane
-    count pads to 128, making it as expensive as the scoring matmul);
-    per-motif hit bits are recovered downstream from a sparse
-    [cap, 128] one-hot matmul over the surviving positions only.
-    Measured at M=1024: 463 Gpos*motif/s vs 246 for the bits kernel
-    (experiments/multi_opt.out).
+    The windowed one-hot is built TRANSPOSED -- positions on *lanes*,
+    (j, s) slots on *sublanes* -- so each motif row's shift is one
+    plain lane roll of a ``[lanes, width]`` block, and the blocks
+    assemble with stack+reshape (sublane concat crashes Mosaic).  This
+    replaced a 4-level binary sublane-shift tree over ``[tile, 128]``
+    and measures 7.7x faster at M=128 / 1.5x at M=1024
+    (experiments/multi_opt2.out: 535 / 743 Gpos*motif/s).  Compared
+    with :func:`_prefilter_kernel` it also skips the [tile, M] mask
+    passes and the bit-pack matmul; per-motif bits are recovered
+    downstream from a sparse matmul over surviving positions only.
     """
     w = m_max - 1
-    s0 = b0_ref[:].astype(jnp.int32)          # [tile, 1]
-    halo = b1_ref[:w, :].astype(jnp.int32)    # next tile's head
-    seq = jnp.concatenate([s0, halo], axis=0)  # [tile + w, 1]
-    rows = tile + w
     lanes = _lanes_for(k)
     rpb = MAX_MK // lanes
-    base = jnp.broadcast_to(seq, (rows, MAX_MK))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, MAX_MK), 1)
-    group = lane // lanes
-    smap = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1) % lanes
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1)
+    width = tile + w
+    s0 = b0_ref[:].astype(jnp.int32)          # [1, tile]
+    halo = b1_ref[:, :w].astype(jnp.int32)    # [1, w]: next tile's head
+    seq_row = jnp.concatenate([s0, halo], axis=1)  # [1, width]
+    base = jnp.broadcast_to(seq_row, (lanes, width))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (MAX_MK, 1), 0)
+    smap = sub % lanes                 # row (j, s) compares symbol s
+    is_const = sub == (lanes - 1)      # block-0 top slot: constant one
     n_blocks = -(-m_max // rpb)
     scores = None
     for b in range(n_blocks):
-        block_base = base if b == 0 else pltpu.roll(
-            base, rows - b * rpb, 0)
-        rows_here = min(m_max - b * rpb, rpb)
-        seqw = block_base
-        bit = 1
-        while bit < rows_here:
-            seqw = jnp.where((group & bit) != 0,
-                             pltpu.roll(seqw, rows - bit, 0), seqw)
-            bit <<= 1
-        x = seqw[:tile] == smap
+        blocks = []
+        for r in range(rpb):
+            j = b * rpb + r
+            blocks.append(base if j == 0 else
+                          pltpu.roll(base, width - j, axis=1))
+        xt = jnp.stack(blocks, axis=0).reshape(MAX_MK, width)
+        oh = xt[:, :tile] == smap
         if b == 0:
-            # constant-one lane (j=0, top slot): filter row lanes-1
-            # holds -t, so part = scores - t
-            x = x | (lane_t == lanes - 1)
-        part = jnp.dot(
-            x.astype(jnp.bfloat16), filt_ref[b * MAX_MK:(b + 1) * MAX_MK, :],
+            # filter row lanes-1 holds -t, so part = scores - t
+            oh = oh | is_const
+        part = jax.lax.dot_general(
+            filt_ref[b * MAX_MK:(b + 1) * MAX_MK, :],
+            oh.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [tile, M]
+        )  # [M, tile]
         scores = part if scores is None else scores + part
-    out_ref[:] = jnp.max(scores, axis=1, keepdims=True).astype(jnp.int32)
+    out_ref[:] = jnp.max(scores, axis=0, keepdims=True).astype(jnp.int32)
+
+
+def _tile_for(m_pad: int) -> int:
+    """Largest power-of-two tile (<= TILE) keeping the [m_pad, tile]
+    f32 score block near 128 MB of VMEM-resident intermediates."""
+    budget = 32 * 1024 * 1024  # f32 elements
+    tile = TILE
+    while tile > 4096 and m_pad * tile > budget:
+        tile //= 2
+    return tile
 
 
 @functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
-def prefilter_any(seq, filters_t, m_max: int, k: int, tile: int = TILE):
-    """Per-position ``max_mo (score - t)`` as int32 ``[Lp, 1]``.
+def prefilter_any(seq, filters_t, m_max: int, k: int,
+                  tile: int | None = None):
+    """Per-position ``max_mo (score - t)`` as int32 ``[1, Lp]``.
 
-    ``seq``: int8 ``[Lp]``, ``Lp`` a multiple of ``tile``;
+    ``seq``: int8 ``[Lp]``, ``Lp`` a multiple of :data:`TILE`;
     ``filters_t``: threshold-folded filters from
     :func:`pack_filters_any`.  A position is a candidate for *some*
     motif iff the output is >= 0.  Validity windows (``n_valid``) are
@@ -203,25 +215,28 @@ def prefilter_any(seq, filters_t, m_max: int, k: int, tile: int = TILE):
     from . import kernels
 
     lp = seq.shape[0]
+    if tile is None:
+        tile = _tile_for(filters_t.shape[1])
     assert lp % tile == 0
     grid = lp // tile
-    view = seq.reshape(lp, 1)
+    view = seq.reshape(1, lp)
     kernel = functools.partial(_any_kernel, m_max=m_max, k=k, tile=tile)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: ((i + 1) % grid, 0),
+            pl.BlockSpec((1, tile), lambda i: (0, (i + 1) % grid),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lp, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, lp), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=160 * 1024 * 1024,
+        ),
         interpret=kernels.INTERPRET,
     )(filters_t.astype(jnp.bfloat16), view, view)
 
@@ -294,7 +309,7 @@ def _prefilter_kernel(filt_ref, tsc_ref, nval_ref, pow_ref, b0_ref, b1_ref,
 
 @functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
 def prefilter_bits(seq, filters, t_scaled, n_valid, m_max: int, k: int,
-                   tile: int = TILE):
+                   tile: int = 8192):
     """Packed hit bits of every motif at every position.
 
     ``seq``: int8 ``[Lp]`` with ``Lp`` a multiple of ``tile`` (wildcard

@@ -323,7 +323,9 @@ class MultiScanner:
 
         from .ops import multi_kernel
 
-        unit = xla_ops.PAD_MULTIPLE
+        # segments must tile the fused kernel geometry (the any-kernel
+        # tile can be any power-of-two divisor of multi_kernel.TILE)
+        unit = max(xla_ops.PAD_MULTIPLE, multi_kernel.TILE)
         if m_max > unit:
             raise ValueError(f"motif longer than the halo unit ({unit})")
         mcount = len(self.pssms)
