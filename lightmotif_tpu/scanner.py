@@ -278,7 +278,8 @@ class MultiScanner:
     or one value per motif.
     """
 
-    def __init__(self, pssms, seq, thresholds=0.0, capacity: int = DEFAULT_CAPACITY):
+    def __init__(self, pssms, seq=None, thresholds=0.0,
+                 capacity: int = DEFAULT_CAPACITY):
         from .ops import multi
 
         self.pssms = list(pssms)
@@ -300,9 +301,31 @@ class MultiScanner:
             dtype=np.int32,
         )
         self.capacity = int(capacity)
-        self._dseq = _as_device_seq(seq)
+        self._dev = None  # device-cached packed motif data
+        self._dseq = None
         self._scan_data = None
         self._dense = False
+        if seq is not None:
+            self.bind(seq)
+
+    def bind(self, seq) -> "MultiScanner":
+        """Bind a (new) sequence; the packed motif database -- u8
+        discretization, filter packing, and device uploads -- is
+        reused, so scanning many genomes against one motif set pays the
+        preparation cost once."""
+        self._dseq = _as_device_seq(seq)
+        self._scan_data = None
+        return self
+
+    def scan(self, seq) -> list:
+        """Scan a sequence with this motif set (equivalent to
+        ``bind(seq).collect()``)."""
+        return self.bind(seq).collect()
+
+    def scan_arrays(self, seq):
+        """Like :meth:`scan` but returns the
+        ``(motif_ids, positions, scores)`` arrays."""
+        return self.bind(seq).collect_arrays()
 
     #: Cap on the ``[segment, n_motifs]`` discrete-score matrix (int32
     #: elements) so device memory stays bounded for big motif sets.
@@ -315,6 +338,8 @@ class MultiScanner:
         from .ops import multi
 
         dseq = self._dseq
+        if dseq is None:
+            raise ValueError("no sequence bound; use scan(seq)/bind(seq)")
         m_max = int(self.lengths.max())
         n_valid = np.maximum(dseq.length - self.lengths + 1, 0).astype(np.int32)
         n_total = int(n_valid.max(initial=0))
@@ -349,15 +374,24 @@ class MultiScanner:
             self._scan_data, dseq.data, need,
             self.pssms[0].alphabet.default_index)
 
-        if fused:
-            filters_t = multi_kernel.pack_filters_any(
-                self.dm_stack, self.t_scaled, k)
-            filt_dev = jnp.asarray(filters_t)
-        dm_dev = jnp.asarray(self.dm_stack)
-        pssm_dev = jnp.asarray(self.pssm_stack)
-        len_dev = jnp.asarray(self.lengths)
-        ts_dev = jnp.asarray(self.t_scaled)
-        th_dev = jnp.asarray(self.thresholds)
+        if self._dev is None:
+            # pack + upload the motif database once per scanner
+            dev = {}
+            if fused:
+                dev["filt"] = jnp.asarray(multi_kernel.pack_filters_any(
+                    self.dm_stack, self.t_scaled, k))
+            dev["dm"] = jnp.asarray(self.dm_stack)
+            dev["pssm"] = jnp.asarray(self.pssm_stack)
+            dev["len"] = jnp.asarray(self.lengths)
+            dev["ts"] = jnp.asarray(self.t_scaled)
+            dev["th"] = jnp.asarray(self.thresholds)
+            self._dev = dev
+        filt_dev = self._dev.get("filt")
+        dm_dev = self._dev["dm"]
+        pssm_dev = self._dev["pssm"]
+        len_dev = self._dev["len"]
+        ts_dev = self._dev["ts"]
+        th_dev = self._dev["th"]
 
         out_pos, out_mot, out_sc = [], [], []
         off = 0

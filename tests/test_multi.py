@@ -326,3 +326,19 @@ def test_phase_c_chunked_matches_single(genome, monkeypatch):
         jax.clear_caches()
     assert [(h.motif, h.position, h.score) for h in got] == \
         [(h.motif, h.position, h.score) for h in ref]
+
+
+def test_multiscanner_rebind_sequences(genome):
+    """One packed motif set scans multiple sequences via scan(seq); hit
+    sets equal per-sequence scanners."""
+    motifs = make_motifs()
+    ms = MultiScanner(motifs, thresholds=[-10.0, -3.0, -5.0])
+    rng = np.random.default_rng(31)
+    other = EncodedSequence(rng.integers(0, 4, size=30_000, dtype=np.uint8))
+    for seq in (genome, other, genome):
+        got = ms.scan(seq)
+        want = MultiScanner(motifs, seq, [-10.0, -3.0, -5.0]).collect()
+        assert [(h.motif, h.position, h.score) for h in got] == \
+            [(h.motif, h.position, h.score) for h in want]
+    with pytest.raises(ValueError):
+        MultiScanner(motifs, thresholds=-5.0).collect()
