@@ -518,9 +518,21 @@ def main(argv=None):
         except Exception as e:  # keep the suite running
             record(name, "ERROR", None, "", repr(e)[:300])
 
+    # merge into the existing file so subset runs (-k) refresh their
+    # rows without clobbering the rest of the table
+    merged = {}
+    if os.path.exists(RESULTS_JSON):
+        try:
+            with open(RESULTS_JSON) as fh:
+                for row in json.load(fh).get("results", []):
+                    merged[row["name"]] = row
+        except (OSError, ValueError, KeyError):
+            merged = {}
+    for row in _RESULTS:
+        merged[row["name"]] = row
     with open(RESULTS_JSON, "w") as fh:
-        json.dump({"timestamp": time.time(), "results": _RESULTS}, fh,
-                  indent=1)
+        json.dump({"timestamp": time.time(),
+                   "results": list(merged.values())}, fh, indent=1)
     if not args.json:
         print("\n| workload | metric | value | unit | vs AVX2 | note |")
         print("|---|---|---|---|---|---|")
