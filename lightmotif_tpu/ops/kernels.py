@@ -203,8 +203,8 @@ def preferred_pad() -> int:
     return xla_ops.PAD_MULTIPLE
 
 
-def _supports_pallas(seq, m: int) -> bool:
-    if m - 1 > BLOCK_LANES or seq.shape[0] % PAD_LANES:
+def _supports_pallas(seq, m: int, block_lanes: int) -> bool:
+    if m - 1 > block_lanes or seq.shape[0] % (CHUNKS * block_lanes):
         return False
     if seq.shape[0] // CHUNKS < m:  # chunks shorter than the motif
         return False
@@ -214,16 +214,23 @@ def _supports_pallas(seq, m: int) -> bool:
     return platform in ("tpu", "axon")
 
 
-def score_f32(seq, pssm, n_scores: int):
-    """Exact f32 scores of every window start (Pallas on TPU)."""
-    if not _supports_pallas(seq, pssm.shape[0]):
+def score_f32(seq, pssm, n_scores: int, block_lanes: int | None = None):
+    """Exact f32 scores of every window start (Pallas on TPU).
+
+    ``block_lanes`` overrides the grid-block width (default
+    :data:`BLOCK_LANES`); interpret-mode tests use small values so the
+    kernel's halo/wrap logic runs on tiny shapes without a TPU.
+    """
+    bl = BLOCK_LANES if block_lanes is None else block_lanes
+    if not _supports_pallas(seq, pssm.shape[0], bl):
         return xla_ops.score_f32(seq, pssm, n_scores)
-    return _score_chunked(seq, pssm, n_scores, BLOCK_LANES, False)
+    return _score_chunked(seq, pssm, n_scores, bl, False)
 
 
-def score_u8(seq, dm, n_scores: int):
+def score_u8(seq, dm, n_scores: int, block_lanes: int | None = None):
     """Saturated discrete scores (== reference u8 scores) as int32."""
-    if not _supports_pallas(seq, dm.shape[0]):
+    bl = BLOCK_LANES if block_lanes is None else block_lanes
+    if not _supports_pallas(seq, dm.shape[0], bl):
         return xla_ops.score_u8(seq, dm, n_scores)
     table = dm.astype(jnp.float32)
-    return _score_chunked(seq, table, n_scores, BLOCK_LANES, True)
+    return _score_chunked(seq, table, n_scores, bl, True)
