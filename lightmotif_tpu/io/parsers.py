@@ -262,6 +262,13 @@ class MemeFile:
     def __iter__(self):
         if self._records is not None:
             return iter(self._records)
+        if self._consumed:
+            # a second pass over the shared stream would silently skip
+            # the motifs the first (partial) pass already consumed
+            raise RuntimeError(
+                "MemeFile was already partially iterated; materialize "
+                ".records (or len()) before iterating, or re-read the "
+                "file")
 
         def stream():
             first = True

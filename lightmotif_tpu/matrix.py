@@ -598,8 +598,13 @@ class DiscreteMatrix(_MatrixBase):
         )
 
     def score_position(self, seq, pos: int) -> int:
+        """Stepwise-saturating u8 window score, equal to the reference's
+        ``adds_epu8`` accumulation (``avx2.rs:292-347``) and to the
+        device kernels' clamped sums (saturating at each step equals one
+        final ``min(.., 255)`` because partial sums are monotone
+        non-decreasing)."""
         data = self.data
         acc = 0
         for j in range(data.shape[0]):
-            acc += int(data[j, seq[pos + j]])
+            acc = min(acc + int(data[j, seq[pos + j]]), 255)
         return acc

@@ -214,10 +214,16 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     # process candidates in fixed blocks so device memory stays bounded
     # (ratcheted caps are powers of two, so they divide evenly)
     blk = PHASE_C_BLOCK
-    if cap > blk and cap % blk == 0:
+    if cap > blk:
+        # a user-supplied capacity need not divide the block size: pad
+        # the candidate list with out-of-range sentinels (masked inside
+        # phase_c) so the memory-bounding block split always engages
+        cap_pad = -(-cap // blk) * blk
+        pos_pad = pos_idx if cap_pad == cap else jnp.concatenate(
+            [pos_idx, jnp.full((cap_pad - cap,), chunk_len, pos_idx.dtype)])
         words, pairs_blk = jax.lax.map(
-            phase_c, pos_idx.reshape(cap // blk, blk))
-        words = words.reshape(cap, n_words)
+            phase_c, pos_pad.reshape(cap_pad // blk, blk))
+        words = words.reshape(cap_pad, n_words)[:cap]
         pairs_total = jnp.sum(pairs_blk)
     else:
         words, pairs_total = phase_c(pos_idx)

@@ -33,7 +33,7 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops import xla_ops
+from ..ops import kernels, xla_ops
 
 __all__ = [
     "make_genome_mesh",
@@ -58,18 +58,25 @@ def shard_sequence(
     motif_len: int,
     wildcard: int,
     pad_multiple: int = xla_ops.PAD_MULTIPLE,
+    halo: int | None = None,
 ):
     """Split a flat encoded sequence into overlapping shards.
 
-    Returns ``(shards[n_shards, chunk + motif_len - 1], chunk, n_scores)``
-    where shard ``d`` owns window starts ``[d * chunk, (d+1) * chunk)``
-    and carries ``motif_len - 1`` halo symbols from shard ``d+1``.
+    Returns ``(shards[n_shards, chunk + halo], chunk, n_scores)`` where
+    shard ``d`` owns window starts ``[d * chunk, (d+1) * chunk)`` and
+    carries ``halo`` (default ``motif_len - 1``) symbols from shard
+    ``d+1``.  Passing ``halo = pad_multiple`` keeps the shard width a
+    multiple of the kernel geometry so the production Pallas kernels
+    engage inside the shard bodies.
     """
     n = int(encoded.size)
     n_scores = max(n - motif_len + 1, 0)
     chunk = -(-max(n_scores, 1) // n_shards)
     chunk = max(-(-chunk // pad_multiple) * pad_multiple, pad_multiple)
-    halo = motif_len - 1
+    if halo is None:
+        halo = motif_len - 1
+    elif halo < motif_len - 1:
+        raise ValueError(f"halo {halo} < motif_len - 1 = {motif_len - 1}")
     width = chunk + halo
     shards = np.full((n_shards, width), wildcard, dtype=np.int8)
     for d in range(n_shards):
@@ -80,12 +87,28 @@ def shard_sequence(
     return shards, chunk, n_scores
 
 
+def _halo_unit(m: int, pad_unit: int | None):
+    """Shard geometry: (alignment unit, halo width, kernel block_lanes).
+
+    The unit defaults to the production kernel geometry
+    (:func:`lightmotif_tpu.ops.kernels.preferred_pad`) so the per-shard
+    device program is the SAME Pallas kernel as the single-chip scanner;
+    the halo is a whole number of units (>= motif_len - 1), keeping the
+    shard width a geometry multiple.
+    """
+    unit = kernels.preferred_pad() if pad_unit is None else int(pad_unit)
+    halo = max(1, -(-(m - 1) // unit)) * unit
+    return unit, halo, unit // kernels.CHUNKS
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "n_scores", "cap", "mesh_holder", "dense"),
+    static_argnames=("chunk", "n_scores", "cap", "mesh_holder", "dense",
+                     "block_lanes"),
 )
 def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk,
-                       n_scores, cap, mesh_holder, dense=False):
+                       n_scores, cap, mesh_holder, dense=False,
+                       block_lanes=None):
     mesh = mesh_holder.mesh
 
     def local(shard, dm, pssm, t_scaled, threshold):
@@ -93,7 +116,9 @@ def _sharded_scan_impl(shards, dm, pssm, t_scaled, threshold, chunk,
         seq = shard[0]
         # number of valid window starts in this shard
         n_local = jnp.clip(n_scores - d * chunk, 0, chunk)
-        dscores = xla_ops.score_u8(seq, dm, chunk)
+        # the production kernel: identical device program to the
+        # single-chip scanner's pre-filter (xla_ops.scan_segment)
+        dscores = kernels.score_u8(seq, dm, chunk, block_lanes=block_lanes)
         pos = jax.lax.broadcasted_iota(jnp.int32, dscores.shape, 0)
         dscores = jnp.where(pos < n_local, dscores, -1)
         count, idx, valid = xla_ops.threshold_positions(
@@ -162,6 +187,7 @@ def sharded_scan(
     t_scaled: int,
     mesh: Mesh | None = None,
     cap: int = 1 << 16,
+    pad_unit: int | None = None,
 ):
     """Scan a genome across every device of the mesh; returns
     ``(positions, scores)`` of accepted hits (host arrays).
@@ -170,12 +196,18 @@ def sharded_scan(
     any shard over-signals (candidates exceed ``cap`` or spread over
     more segments than its internal capacity), the scan retries once
     with the dense full-sort compaction sized from the exact count.
+
+    ``pad_unit`` overrides the shard alignment (default: the production
+    kernel geometry, so each shard runs the same Pallas program as the
+    single-chip scanner; tests pass small units for interpret mode).
     """
     mesh = mesh or make_genome_mesh()
     n_dev = mesh.devices.size
     m = pssm_data.shape[0]
     wildcard = pssm_data.shape[1] - 1
-    shards, chunk, n_scores = shard_sequence(encoded, n_dev, m, wildcard)
+    unit, halo, block_lanes = _halo_unit(m, pad_unit)
+    shards, chunk, n_scores = shard_sequence(
+        encoded, n_dev, m, wildcard, pad_multiple=unit, halo=halo)
 
     shards_dev = _put_sharded(shards, mesh)
     dm_dev = jnp.asarray(dm_data)
@@ -193,6 +225,7 @@ def sharded_scan(
             cap,
             _MeshHolder(mesh),
             dense,
+            block_lanes,
         )
         counts = np.asarray(jax.device_get(counts))  # [n_dev, 3] -- tiny
         worst = int(counts[:, 0].max(initial=0))
@@ -227,15 +260,20 @@ def sharded_scan(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "n_scores", "mesh_holder"))
-def _sharded_argmax_impl(shards, pssm, chunk, n_scores, mesh_holder):
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "n_scores", "mesh_holder", "block_lanes"),
+)
+def _sharded_argmax_impl(shards, pssm, chunk, n_scores, mesh_holder,
+                         block_lanes=None):
     mesh = mesh_holder.mesh
 
     def local(shard, pssm):
         d = jax.lax.axis_index("genome")
         seq = shard[0]
         n_local = jnp.clip(n_scores - d * chunk, 0, chunk)
-        scores = xla_ops.score_f32(seq, pssm, chunk)
+        # production Pallas kernel, same program as the single-chip path
+        scores = kernels.score_f32(seq, pssm, chunk, block_lanes=block_lanes)
         pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         scores = jnp.where(pos < n_local, scores, -jnp.inf)
         local_max = jnp.max(scores)
@@ -260,13 +298,16 @@ def sharded_argmax(
     pssm_data: np.ndarray,
     encoded: np.ndarray,
     mesh: Mesh | None = None,
+    pad_unit: int | None = None,
 ):
     """Global (max_score, argmax) over a genome sharded across the mesh."""
     mesh = mesh or make_genome_mesh()
     n_dev = mesh.devices.size
     m = pssm_data.shape[0]
     wildcard = pssm_data.shape[1] - 1
-    shards, chunk, n_scores = shard_sequence(encoded, n_dev, m, wildcard)
+    unit, halo, block_lanes = _halo_unit(m, pad_unit)
+    shards, chunk, n_scores = shard_sequence(
+        encoded, n_dev, m, wildcard, pad_multiple=unit, halo=halo)
     shards_dev = _put_sharded(shards, mesh)
     gmax, garg = _sharded_argmax_impl(
         shards_dev,
@@ -274,6 +315,7 @@ def sharded_argmax(
         chunk,
         n_scores,
         _MeshHolder(mesh),
+        block_lanes,
     )
     return float(np.asarray(gmax)[0]), int(np.asarray(garg)[0])
 
@@ -412,13 +454,15 @@ def sharded_multi_scan(
 class ShardedScanner:
     """Multi-device counterpart of :class:`lightmotif_tpu.scanner.Scanner`."""
 
-    def __init__(self, pssm, seq, threshold: float = 0.0, mesh: Mesh | None = None):
+    def __init__(self, pssm, seq, threshold: float = 0.0,
+                 mesh: Mesh | None = None, pad_unit: int | None = None):
         from ..scanner import Hit  # noqa: F401 (re-exported convenience)
 
         self.pssm = pssm
         self.dm = pssm.to_discrete()
         self.threshold = float(threshold)
         self.mesh = mesh or make_genome_mesh()
+        self.pad_unit = pad_unit
         if hasattr(seq, "unstripe"):
             seq = seq.unstripe()
         self.encoded = np.asarray(seq.data, dtype=np.int8)
@@ -435,6 +479,7 @@ class ShardedScanner:
             self.threshold,
             self.dm.scale(self.threshold),
             mesh=self.mesh,
+            pad_unit=self.pad_unit,
         )
         order = np.argsort(positions, kind="stable")
         return [Hit(int(p), float(s)) for p, s in zip(positions[order], scores[order])]
@@ -452,6 +497,7 @@ class ShardedScanner:
             -np.inf,  # keep every discrete candidate
             self.dm.scale(self.threshold),
             mesh=self.mesh,
+            pad_unit=self.pad_unit,
         )
         if positions.size == 0:
             return None

