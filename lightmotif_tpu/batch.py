@@ -96,34 +96,61 @@ class BatchScanner:
 
 
 class MultiBatchScanner:
-    """Scan many PSSMs over many sequences in a single device pass."""
+    """Scan many PSSMs over many sequences in a single device pass.
 
-    def __init__(self, pssms, seqs, thresholds=0.0,
+    The packed motif database (discretization, filter packing, device
+    uploads) and the compiled device programs persist across
+    :meth:`rebind` calls, so a streaming consumer (the CLI's flights)
+    pays the preparation cost once and runs one warm executable per
+    flight -- the steady-state analogue of the reference CLI's
+    long-lived worker threads (``main.rs:500-601``).
+    """
+
+    def __init__(self, pssms, seqs=None, thresholds=0.0,
                  pad_to: int | None = None, **kw):
         self.pssms = list(pssms)
         if not self.pssms:
             raise ValueError("no motifs given")
         m_max = max(len(p) for p in self.pssms)
-        gap = max(m_max - 1, 0)
-        self._m = [len(p) for p in self.pssms]
+        self.gap = max(m_max - 1, 0)
+        self._m = np.asarray([len(p) for p in self.pssms])
+        self._offsets = self._lengths = None
+        self._scanner = MultiScanner(self.pssms, thresholds=thresholds,
+                                     **kw)
+        if seqs is not None:
+            self.rebind(seqs, pad_to)
+
+    def rebind(self, seqs, pad_to: int | None = None) -> "MultiBatchScanner":
+        """Bind a new batch of records, reusing the packed motif set
+        (and, when ``pad_to`` keeps shapes fixed, the compiled
+        programs)."""
         self._concat, self._offsets, self._lengths = _concatenate(
-            seqs, gap, self.pssms[0].alphabet, pad_to)
-        self._scanner = MultiScanner(
-            self.pssms, self._concat, thresholds=thresholds, **kw)
+            seqs, self.gap, self.pssms[0].alphabet, pad_to)
+        self._scanner.bind(self._concat)
+        return self
+
+    def collect_arrays(self):
+        """Hits as flat arrays ``(records, motif_ids, positions,
+        scores)`` with per-record *local* positions, ordered by
+        (motif, concatenated position) -- the allocation-free form for
+        streaming consumers."""
+        if self._offsets is None:
+            raise ValueError("no records bound; use rebind(seqs)")
+        mo, pos, sc = self._scanner.collect_arrays()
+        if pos.size == 0:
+            return (np.zeros(0, np.int64), mo, pos, sc)
+        rec = np.searchsorted(self._offsets, pos, side="right") - 1
+        local = pos - self._offsets[rec]
+        keep = local <= self._lengths[rec] - self._m[mo]
+        return rec[keep], mo[keep], local[keep], sc[keep]
 
     def collect(self) -> list:
         """Per-record lists of :class:`MultiHit`, ordered by
         (motif, position)."""
-        hits = self._scanner.collect()
+        rec, mo, local, sc = self.collect_arrays()
         out = [[] for _ in self._offsets]
-        if hits:
-            positions = np.asarray([h.position for h in hits])
-            record = np.searchsorted(self._offsets, positions,
-                                     side="right") - 1
-            local = positions - self._offsets[record]
-            for h, r, p in zip(hits, record, local):
-                if p <= self._lengths[r] - self._m[h.motif]:
-                    out[int(r)].append(MultiHit(h.motif, int(p), h.score))
+        for r, m, p, s in zip(rec, mo, local, sc):
+            out[int(r)].append(MultiHit(int(m), int(p), float(s)))
         for lst in out:
             lst.sort(key=lambda h: (h.motif, h.position))
         return out

@@ -227,35 +227,75 @@ def main(argv=None) -> int:
 
         si = 0
         first = True
+        batch_scanner = None  # persists across flights (packed motif DB)
+        t_first = None
+        bytes_first = 0
+        bytes_total = 0
         for flight, solo, last in _read_flights(args, alphabet, gap,
                                                 args.flight_bytes):
             # single-flight files skip the fixed-size padding; once a
             # second flight exists, every flight (even the tail) pads to
             # flight_bytes so one compiled program serves them all
             pad_to = None if (first and last) else args.flight_bytes
-            first = False
             if (not solo and len(flight) > 1 and strands
                     and not args.mesh):
-                from .batch import MultiBatchScanner
+                if batch_scanner is None:
+                    from .batch import MultiBatchScanner
 
-                per_record = MultiBatchScanner(
-                    [p for _, _, p in strands],
-                    [s for _, s in flight],
-                    [job.threshold for job, _, _ in strands],
-                    pad_to=pad_to,
-                ).collect()
-                for (record, _), hits in zip(flight, per_record):
-                    rows = [
-                        (strands[h.motif][0], strands[h.motif][1], h)
-                        for h in hits
-                    ]
-                    write_hits(si, record.name, rows)
+                    batch_scanner = MultiBatchScanner(
+                        [p for _, _, p in strands],
+                        thresholds=[job.threshold
+                                    for job, _, _ in strands],
+                    )
+                rec, mo, local, sc = batch_scanner.rebind(
+                    [s for _, s in flight], pad_to=pad_to
+                ).collect_arrays()
+                # vectorized p-values, one lookup batch per motif
+                pv = np.ones(sc.shape, np.float64)
+                for mid in np.unique(mo):
+                    sel = mo == mid
+                    pv[sel] = strands[mid][0].dist.pvalues(sc[sel])
+                order = np.lexsort((local, mo, rec))
+                bounds = np.searchsorted(
+                    rec[order], np.arange(len(flight) + 1))
+                for ri, (record, _) in enumerate(flight):
+                    lines = []
+                    for i in order[bounds[ri]:bounds[ri + 1]]:
+                        job, strand, _ = strands[mo[i]]
+                        lines.append(
+                            f"{si + 1}\t{record.name}\t{job.index + 1}\t"
+                            f"{job.name}\t{local[i]}\t{strand}\t"
+                            f"{sc[i]}\t{pv[i]:e}\n")
+                    out.writelines(lines)
+                    n_hits += len(lines)
                     si += 1
+                if not args.quiet:
+                    print(
+                        f"[{time.perf_counter() - t0:8.2f}s] {si} "
+                        f"sequences, {n_hits} hits", file=sys.stderr)
             else:
                 for record, seq in flight:
                     write_hits(si, record.name,
                                _scan_all(motifs, seq, args))
                     si += 1
+            flight_bytes = sum(len(s) for _, s in flight)
+            bytes_total += flight_bytes
+            if first:
+                t_first = time.perf_counter() - t0
+                bytes_first = flight_bytes
+            first = False
+        if t_first is not None:
+            steady_s = time.perf_counter() - t0 - t_first
+            steady_bp = bytes_total - bytes_first
+            import json as _json
+
+            print(_json.dumps({
+                "event": "cli_timing",
+                "startup_s": round(t_first, 2),
+                "steady_s": round(steady_s, 2),
+                "steady_mbp_s": round(steady_bp / steady_s / 1e6, 1)
+                if steady_s > 0 and steady_bp else None,
+            }), file=sys.stderr)
     finally:
         if out is not sys.stdout:
             out.close()

@@ -129,6 +129,22 @@ class ScoreDistribution:
             return 0.0
         return float(self.sf_[scaled])
 
+    def pvalues(self, scores) -> np.ndarray:
+        """Vectorized :meth:`pvalue` over an array of scores (used by
+        the CLI to annotate whole hit batches without a Python loop).
+        Matches the scalar path exactly: ``round`` here and in
+        :meth:`scale` both round half to even."""
+        w = self.data.shape[0]
+        scaled = np.round(
+            (np.asarray(scores, np.float64) - w * self.offset_)
+            * self.scale_
+        ).astype(np.int64)
+        out = np.ones(scaled.shape, np.float64)
+        out[scaled >= len(self.sf_)] = 0.0
+        in_range = (scaled >= self.min_score_) & (scaled < len(self.sf_))
+        out[in_range] = self.sf_[scaled[in_range]]
+        return out
+
     def score(self, pvalue: float) -> float:
         if pvalue >= 1.0:
             return self.unscale(self.min_score_)

@@ -32,6 +32,21 @@ def _platform() -> str:
     return jax.devices()[0].platform
 
 
+#: Host->device transfer packing: ``None`` packs two 4-bit ranks per
+#: byte on TPU for alphabets with K <= 16 (halves the bytes crossing a
+#: tunneled link; measured ~2x faster flight binds); ``True``/``False``
+#: force it on/off (tests exercise the packed path on CPU with True).
+PACK_TRANSFER: bool | None = None
+
+
+@jax.jit
+def _unpack4(packed):
+    """[Lp/2] u8 (two 4-bit ranks per byte) -> [Lp] int8."""
+    lo = (packed & 15).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=1).reshape(-1)
+
+
 class DeviceSequence:
     """A padded device-resident encoded sequence.
 
@@ -52,7 +67,14 @@ class DeviceSequence:
         lp = xla_ops.pad_length(self.length, pad_multiple)
         host = np.full(lp, encoded.alphabet.default_index, dtype=np.int8)
         host[: self.length] = encoded.data
-        self.data = jax.device_put(host)
+        pack = PACK_TRANSFER
+        if pack is None:
+            pack = self.alphabet.size <= 16 and _platform() in ("tpu", "axon")
+        if pack and self.alphabet.size <= 16 and lp % 2 == 0:
+            u = host.view(np.uint8)
+            self.data = _unpack4(jax.device_put(u[0::2] | (u[1::2] << 4)))
+        else:
+            self.data = jax.device_put(host)
 
 
 def _as_device_seq(seq) -> DeviceSequence:

@@ -40,6 +40,12 @@ DEFAULT_SEGMENT = 1 << 23
 #: Initial candidate-buffer capacity per segment.
 DEFAULT_CAPACITY = 1 << 16
 
+#: Hit-buffer head fetched together with the counters in ONE transfer;
+#: a second round trip happens only when a segment keeps more hits.
+#: On a remote/tunneled TPU each blocking fetch costs a full round
+#: trip, so the common sparse-hit case pays exactly one.
+HEAD_SLOTS = 8192
+
 
 def _scan_buffer(cached, dseq_data, need: int, wildcard: int):
     """Device scan buffer padded so every ``[off, off + chunk_len)``
@@ -174,7 +180,13 @@ class Scanner:
                     cap,
                     dense,
                 )
-                count, n_kept, valid = (int(v) for v in jax.device_get(counts))
+                # one blocking transfer fetches the counters AND the
+                # front-compacted hit head; most segments need nothing
+                # more (hits are sparse), so the per-segment cost is a
+                # single tunnel round trip
+                head = packed[:, : min(cap, HEAD_SLOTS)]
+                counts_h, head_h = jax.device_get((counts, head))
+                count, n_kept, valid = (int(v) for v in counts_h)
                 if count <= cap and valid:
                     break
                 # retry with the dense full-sort compaction, sized from
@@ -186,7 +198,10 @@ class Scanner:
             self.capacity = cap
             self._dense = dense
             if n_kept:
-                arr = np.asarray(jax.device_get(packed[:, :n_kept]))
+                if n_kept <= head_h.shape[1]:
+                    arr = np.asarray(head_h[:, :n_kept])
+                else:
+                    arr = np.asarray(jax.device_get(packed[:, :n_kept]))
                 positions = arr[0]
                 scores = arr[1].view(np.float32)
                 yield positions + off, scores
@@ -448,7 +463,11 @@ class MultiScanner:
                         cap,
                         dense,
                     )
-                count, n_kept, valid = (int(v) for v in jax.device_get(counts))
+                # counters + hit head in one blocking transfer (see
+                # Scanner._scan_segments)
+                head = packed[:, : min(cap, HEAD_SLOTS)]
+                counts_h, head_h = jax.device_get((counts, head))
+                count, n_kept, valid = (int(v) for v in counts_h)
                 if count <= cap and valid:
                     break
                 dense = True
@@ -457,7 +476,10 @@ class MultiScanner:
             self.capacity = cap
             self._dense = dense
             if n_kept:
-                arr = np.asarray(jax.device_get(packed[:, :n_kept]))
+                if n_kept <= head_h.shape[1]:
+                    arr = np.asarray(head_h[:, :n_kept])
+                else:
+                    arr = np.asarray(jax.device_get(packed[:, :n_kept]))
                 out_pos.append(arr[0] + off)
                 out_mot.append(arr[1])
                 out_sc.append(arr[2].view(np.float32))

@@ -176,3 +176,29 @@ def test_striped_scores_offset():
         assert off == col * rows + row
         if off < 70:
             assert mat[row, col] == data[off]
+
+
+def test_packed_transfer_path():
+    # 4-bit host->device transfer packing must be lossless (the TPU
+    # default; forced on here so CPU tests cover the unpack program)
+    from lightmotif_tpu.ops import pipeline
+
+    rng = np.random.default_rng(17)
+    enc = EncodedSequence(rng.integers(0, 5, size=3001, dtype=np.uint8))
+    saved = pipeline.PACK_TRANSFER
+    pipeline.PACK_TRANSFER = True
+    try:
+        packed = pipeline.DeviceSequence(enc)
+    finally:
+        pipeline.PACK_TRANSFER = saved
+    pipeline.PACK_TRANSFER = False
+    try:
+        plain = pipeline.DeviceSequence(enc)
+    finally:
+        pipeline.PACK_TRANSFER = saved
+    assert np.array_equal(np.asarray(packed.data), np.asarray(plain.data))
+    pssm = build_pssm()
+    pipe = pipeline.Pipeline()
+    s1 = pipe.score(pssm, packed)
+    s2 = pipe.score(pssm, plain)
+    assert np.array_equal(s1.unstripe(), s2.unstripe())
