@@ -180,7 +180,10 @@ def bench_argmax(ctx):
                          r_lo=256, r_hi=32768, trials=3)
     rate = n / per
     record("argmax", "10 kb score+max+argmax (device)",
-           round(rate / 1e9, 2), "Gpos/s", "last-max tie rule",
+           round(rate / 1e9, 2), "Gpos/s",
+           "last-max tie rule; small-workload floor: a 10 kb pass is "
+           "dispatch-overhead-bound (DESIGN.md 3.1b) -- batch records "
+           "or use >=0.5 Mbp sequences for kernel-rate scanning",
            vs_baseline=round(rate / AVX2_ARGMAX_10KB, 1))
 
 

@@ -37,8 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["prefilter_any", "prefilter_bits", "pack_filters_any",
-           "supports_fused", "BITS_PER_WORD", "TILE", "NEG_GUARD"]
+__all__ = ["prefilter_any", "pack_filters_any", "supports_fused",
+           "BITS_PER_WORD", "TILE", "NEG_GUARD"]
 
 #: Motifs per packed output word (halfword packing keeps the bit-pack
 #: matmul exact in f32).
@@ -65,11 +65,14 @@ LANES_PER_ROW_WIDE = 32
 #: Motif rows per contraction block (128 lanes / lanes-per-row).
 ROWS_PER_BLOCK = MAX_MK // LANES_PER_ROW
 
-#: Cap on summed contraction blocks (exact for integer data, order-free).
-MAX_BLOCKS = 4
+#: Cap on summed contraction blocks (exact for integer data,
+#: order-free; raw sums stay < NEG_GUARD: 8 * 16 rows * 255 = 32640).
+#: Bounds the fused path at m <= 128 for DNA and m <= 32 for protein;
+#: short motif sets pay nothing (blocks are derived from m_max).
+MAX_BLOCKS = 8
 
 #: Maximum motif length of the fused path for K <= 8.
-MAX_M_ROWS = 2 * ROWS_PER_BLOCK
+MAX_M_ROWS = MAX_BLOCKS * ROWS_PER_BLOCK
 
 
 #: Finite stand-in for "+inf threshold" once thresholds fold into the
@@ -85,7 +88,9 @@ def _lanes_for(k: int) -> int:
 
 
 def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
-    """Host-side packing for :func:`prefilter_bits`.
+    """Host-side filter packing (the base layout of
+    :func:`pack_filters_any`; a superseded bits-output kernel built on
+    it directly was deleted in round 3 -- see git history).
 
     ``dm_stack``: f32 ``[M, m_max, K]`` zero-padded discrete matrices;
     ``t_scaled``: int ``[M]`` scaled thresholds.  Returns
@@ -239,127 +244,3 @@ def prefilter_any(seq, filters_t, m_max: int, k: int,
         ),
         interpret=kernels.INTERPRET,
     )(filters_t.astype(jnp.bfloat16), view, view)
-
-
-# ---------------------------------------------------------------------------
-# Reference formulation: per-motif bit output.  The production path is
-# prefilter_any (above) -- this kernel materializes [L, M/16] hit words
-# directly and is retained as the independently-testable reference for
-# the any+sparse pipeline (tests/test_multi.py::test_prefilter_bits_parity)
-# and as the comparison baseline in experiments/.  At M=1024 it runs at
-# half the any-kernel's rate (the [tile, M] mask passes plus a bit-pack
-# matmul whose 64-word output pads to a full 128-lane MXU pass).
-# ---------------------------------------------------------------------------
-
-
-def _prefilter_kernel(filt_ref, tsc_ref, nval_ref, pow_ref, b0_ref, b1_ref,
-                      out_ref, *, m_max, k, tile, grid, n_words):
-    i = pl.program_id(0)
-    w = m_max - 1
-
-    s0 = b0_ref[:].astype(jnp.int32)          # [tile, 1]
-    halo = b1_ref[:w, :].astype(jnp.int32)    # next tile's head
-    seq = jnp.concatenate([s0, halo], axis=0)  # [tile + w, 1]
-
-    # windowed one-hot X[t, j*8 + s] = (seq[t + j] == s), built from
-    # vreg-aligned ops only: broadcast the sequence column across all
-    # lanes, then compose the per-lane-group sublane shift j = lane//8
-    # from its binary digits (log2 passes; lane-granular concats and
-    # strided rolls crash this Mosaic build).  Motifs longer than 16
-    # rows use extra contraction blocks shifted 16 further each --
-    # summed matmuls stay exact (integer data, order-free).
-    rows = tile + w
-    lanes = _lanes_for(k)
-    rpb = MAX_MK // lanes
-    base = jnp.broadcast_to(seq, (rows, MAX_MK))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, MAX_MK), 1)
-    group = lane // lanes
-    smap = jax.lax.broadcasted_iota(jnp.int32, (tile, MAX_MK), 1) % lanes
-    n_blocks = -(-m_max // rpb)
-    scores = None
-    for b in range(n_blocks):
-        block_base = base if b == 0 else pltpu.roll(
-            base, rows - b * rpb, 0)
-        rows_here = min(m_max - b * rpb, rpb)
-        seqw = block_base
-        bit = 1
-        while bit < rows_here:
-            seqw = jnp.where((group & bit) != 0,
-                             pltpu.roll(seqw, rows - bit, 0), seqw)
-            bit <<= 1
-        x = (seqw[:tile] == smap).astype(jnp.bfloat16)  # [tile, 128]
-        part = jnp.dot(
-            x, filt_ref[b * MAX_MK:(b + 1) * MAX_MK, :],
-            preferred_element_type=jnp.float32,
-        )  # [tile, M]
-        scores = part if scores is None else scores + part
-
-    # per-motif threshold + validity window
-    pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + i * tile
-    mask = (scores >= tsc_ref[:]) & (pos < nval_ref[:])
-
-    # halfword bit-pack: one [tile, M] @ [M, n_words] matmul against
-    # the power-of-two selector (exact: sums of distinct 2^b <= 65535)
-    bits = jnp.dot(
-        mask.astype(jnp.bfloat16), pow_ref[:],
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[:] = bits.astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
-def prefilter_bits(seq, filters, t_scaled, n_valid, m_max: int, k: int,
-                   tile: int = 8192):
-    """Packed hit bits of every motif at every position.
-
-    ``seq``: int8 ``[Lp]`` with ``Lp`` a multiple of ``tile`` (wildcard
-    padded); ``filters``: f32/bf16 ``[n_blocks*128, M]`` zero-padded
-    stacked discrete matrices
-    (``filters[(j//16)*128 + (j%16)*8 + s, mo] = dm[mo][j, s]``),
-    ``M`` a multiple of 16; ``t_scaled``: f32 ``[1, M]`` scaled thresholds
-    (+inf where the motif can never pass); ``n_valid``: int32 ``[1, M]``
-    valid window starts per motif.
-
-    Returns int32 ``[Lp, M // 16]``: bit ``b`` of word ``g`` at row
-    ``p`` set iff motif ``g*16 + b`` is a discrete candidate at ``p``.
-    """
-    from . import kernels
-
-    lp = seq.shape[0]
-    n_motifs = filters.shape[1]
-    assert lp % tile == 0 and n_motifs % BITS_PER_WORD == 0
-    assert filters.shape[0] == \
-        -(-m_max // (MAX_MK // _lanes_for(k))) * MAX_MK
-    grid = lp // tile
-    n_words = n_motifs // BITS_PER_WORD
-
-    # power-of-two bit-pack selector (block-diagonal halfword powers)
-    powers = np.zeros((n_motifs, n_words), np.float32)
-    for mo in range(n_motifs):
-        powers[mo, mo // BITS_PER_WORD] = float(1 << (mo % BITS_PER_WORD))
-
-    view = seq.reshape(lp, 1)
-    kernel = functools.partial(
-        _prefilter_kernel, m_max=m_max, k=k, tile=tile, grid=grid,
-        n_words=n_words)
-    return pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # filters [128, M]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # t_scaled [1, M]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # n_valid [1, M]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # powers [M, n_words]
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: ((i + 1) % grid, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, n_words), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lp, n_words), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=kernels.INTERPRET,
-    )(filters.astype(jnp.bfloat16), t_scaled, n_valid,
-      jnp.asarray(powers, jnp.bfloat16), view, view)

@@ -119,6 +119,78 @@ def test_multi_fused_long_motifs(genome):
     ]
 
 
+def test_multi_fused_very_long_motifs(genome):
+    """Round-3 MAX_BLOCKS=8: DNA motifs up to 128 rows stay fused."""
+    from lightmotif_tpu.ops import kernels, multi_kernel
+
+    import numpy as np
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+
+    rng = np.random.default_rng(10)
+    motifs = []
+    for width in (8, 70, 128):
+        sites = [
+            "".join("ACTG"[j] for j in rng.integers(0, 4, size=width))
+            for _ in range(3)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    seq = EncodedSequence(rng.integers(0, 4, size=8000, dtype=np.uint8))
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        assert multi_kernel.supports_fused(128, 5, 2)
+        assert not multi_kernel.supports_fused(129, 5, 2)
+        fused = MultiScanner(motifs, seq, -40.0).collect()
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    windows = MultiScanner(motifs, seq, -40.0).collect()
+    assert fused, "expected hits"
+    assert [(h.motif, h.position, h.score) for h in fused] == [
+        (h.motif, h.position, h.score) for h in windows
+    ]
+
+
+def test_multi_fused_protein_long(genome):
+    """Round-3 MAX_BLOCKS=8: protein motifs up to 32 rows stay fused."""
+    import numpy as np
+
+    from lightmotif_tpu import PROTEIN, CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels, multi_kernel
+
+    rng = np.random.default_rng(14)
+    motifs = []
+    for width in (10, 24, 32):
+        sites = [
+            "".join(PROTEIN.symbols[j]
+                    for j in rng.integers(0, 20, size=width))
+            for _ in range(3)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s, PROTEIN) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    seq = EncodedSequence(
+        rng.integers(0, 20, size=4000, dtype=np.uint8), PROTEIN)
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        assert multi_kernel.supports_fused(32, 21, 2)
+        assert not multi_kernel.supports_fused(33, 21, 2)
+        fused = MultiScanner(motifs, seq, -60.0).collect()
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    windows = MultiScanner(motifs, seq, -60.0).collect()
+    assert fused, "expected hits"
+    assert [(h.motif, h.position, h.score) for h in fused] == [
+        (h.motif, h.position, h.score) for h in windows
+    ]
+
+
 def test_multi_fused_protein(genome):
     """Protein alphabet (K=21) uses 32-lane groups in the fused path."""
     import numpy as np
@@ -262,51 +334,6 @@ def test_multi_empty_sequence():
     assert MultiScanner(motifs, short, -5.0).collect() == []
     mo, pos, sc = MultiScanner(motifs, short, -5.0).collect_arrays()
     assert len(mo) == 0 and len(pos) == 0 and len(sc) == 0
-
-
-def test_prefilter_bits_parity(genome):
-    """The retained bits-output prefilter (reference formulation) flags
-    the same candidate set the production any-prefilter does."""
-    import jax.numpy as jnp
-
-    from lightmotif_tpu.ops import kernels, multi, multi_kernel
-
-    motifs = make_motifs()
-    k = motifs[0].alphabet.size
-    dms = [p.to_discrete() for p in motifs]
-    dm_stack, lengths = multi.stack_motifs(
-        [d.data.astype(np.float32) for d in dms], k)
-    m_max = int(lengths.max())
-    thresholds = [-10.0, -3.0, -5.0]
-    t_scaled = np.asarray(
-        [d.scale(t) for d, t in zip(dms, thresholds)], np.int64)
-    filters, t_eff = multi_kernel.pack_filters(dm_stack, t_scaled, k)
-    filters_t = multi_kernel.pack_filters_any(dm_stack, t_scaled, k)
-
-    data = np.asarray(genome.data, np.int8)
-    tile = multi_kernel.TILE
-    lp = -(-data.size // tile) * tile
-    flat = np.full(lp, k - 1, np.int8)
-    flat[:data.size] = data
-    n_valid = np.zeros((1, filters.shape[1]), np.int32)
-    n_valid[0, :len(motifs)] = data.size - lengths + 1
-
-    kernels.INTERPRET = True
-    jax.clear_caches()
-    try:
-        bits = np.asarray(multi_kernel.prefilter_bits(
-            jnp.asarray(flat), jnp.asarray(filters), jnp.asarray(t_eff),
-            jnp.asarray(n_valid), m_max, k))
-        maxv = np.asarray(multi_kernel.prefilter_any(
-            jnp.asarray(flat), jnp.asarray(filters_t), m_max, k))
-    finally:
-        kernels.INTERPRET = False
-        jax.clear_caches()
-
-    # within every motif's valid window the any flag == any bit set
-    n_min = int(data.size - lengths.max() + 1)
-    assert np.array_equal((bits[:n_min] != 0).any(axis=1),
-                          maxv.reshape(-1)[:n_min] >= 0)
 
 
 def test_phase_c_chunked_matches_single(genome, monkeypatch):
