@@ -333,6 +333,114 @@ def bench_multi(ctx):
                vs_baseline=round(L * M / per / AVX2_BASELINE, 1))
 
 
+def _multiscan_wall(pssms, seq, thresholds, reps=3):
+    from lightmotif_tpu.scanner import MultiScanner
+
+    ms = MultiScanner(pssms, thresholds=thresholds)
+    mo, _, _ = ms.scan_arrays(seq)  # warm
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ms.scan_arrays(seq)
+        best = min(best, time.perf_counter() - t0)
+    return best, len(mo)
+
+
+def bench_multiprot(ctx):
+    """Protein motif sets through MultiScanner: the fused path (m<=32
+    since round 3) and the windows fallback (m>32) both get measured
+    (VERDICT round-2 weak #7)."""
+    from lightmotif_tpu import PROTEIN, CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import multi_kernel
+    from lightmotif_tpu.scanner import Scanner
+
+    rng = np.random.default_rng(23)
+    proteome = EncodedSequence(
+        rng.integers(0, 20, size=1_000_000, dtype=np.uint8), PROTEIN)
+
+    def build(widths, per=16):
+        out = []
+        for w in widths:
+            for _ in range(per):
+                sites = ["".join(PROTEIN.symbols[j] for j in
+                                 rng.integers(0, 20, size=w))
+                         for _ in range(4)]
+                cm = CountMatrix.from_sequences(
+                    EncodedSequence.encode(s, PROTEIN) for s in sites)
+                out.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+        return out
+
+    fused = build((8, 16, 24, 32))   # 64 motifs, all fused
+    assert multi_kernel.supports_fused(
+        max(len(p) for p in fused), 21, len(fused))
+    ths = [p.score_distribution().score(1e-5) for p in fused]
+    wall, n_hits = _multiscan_wall(fused, proteome, ths)
+    # spot parity on the longest motif
+    mid = int(np.argmax([len(p) for p in fused]))
+    from lightmotif_tpu.scanner import MultiScanner
+    ms = MultiScanner(fused, thresholds=ths)
+    mo, pos, sc = ms.scan_arrays(proteome)
+    sel = mo == mid
+    want = sorted((h.position, h.score) for h in
+                  Scanner(fused[mid], proteome, threshold=ths[mid]))
+    assert sorted(zip(pos[sel].tolist(), sc[sel].tolist())) == want
+    gpm = len(proteome) * len(fused) / wall
+    record("multiprot",
+           f"{len(fused)} protein motifs (m 8..32, fused) x 1 Mres",
+           round(wall, 3), "s",
+           f"{n_hits} hits; {gpm / 1e9:.0f} Gpos*motif/s e2e; parity "
+           "vs Scanner on the m=32 motif")
+
+    tall = build((40,), per=16)      # windows fallback (m > 32)
+    assert not multi_kernel.supports_fused(40, 21, len(tall))
+    ths_t = [p.score_distribution().score(1e-5) for p in tall]
+    wall_t, n_t = _multiscan_wall(tall, proteome, ths_t)
+    gpm_t = len(proteome) * len(tall) / wall_t
+    record("multiprotwin",
+           f"{len(tall)} protein motifs (m=40, windows fallback) x 1 Mres",
+           round(wall_t, 3), "s",
+           f"{n_t} hits; {gpm_t / 1e9:.1f} Gpos*motif/s e2e -- the "
+           "measured cost of the silent fused->windows transition")
+
+
+def bench_multilong(ctx):
+    """Mixed-length DNA set with motifs up to 128 rows: everything
+    stays on the fused path since round 3 (MAX_BLOCKS=8)."""
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import multi_kernel
+    from lightmotif_tpu.scanner import Scanner
+
+    rng = np.random.default_rng(31)
+    seq = ctx["seq"]
+    pssms = []
+    for w in (8, 15, 33, 64, 100, 128):
+        for _ in range(8):
+            sites = ["".join("ACTG"[j] for j in
+                             rng.integers(0, 4, size=w))
+                     for _ in range(4)]
+            cm = CountMatrix.from_sequences(
+                EncodedSequence.encode(s) for s in sites)
+            pssms.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    assert multi_kernel.supports_fused(128, 5, len(pssms))
+    ths = [p.score_distribution().score(1e-6) for p in pssms]
+    wall, n_hits = _multiscan_wall(pssms, seq, ths)
+    # parity on one long motif
+    from lightmotif_tpu.scanner import MultiScanner
+    ms = MultiScanner(pssms, thresholds=ths)
+    mo, pos, sc = ms.scan_arrays(seq)
+    mid = len(pssms) - 1  # an m=128 motif
+    sel = mo == mid
+    want = sorted((h.position, h.score) for h in
+                  Scanner(pssms[mid], seq, threshold=ths[mid]))
+    assert sorted(zip(pos[sel].tolist(), sc[sel].tolist())) == want
+    gpm = ctx["genome"].size * len(pssms) / wall
+    record("multilong",
+           f"{len(pssms)} DNA motifs (m 8..128, all fused) x E. coli",
+           round(wall, 3), "s",
+           f"{n_hits} hits; {gpm / 1e9:.0f} Gpos*motif/s e2e; parity "
+           "vs Scanner on an m=128 motif")
+
+
 def bench_jaspar(ctx):
     from lightmotif_tpu import load
     from lightmotif_tpu.scanner import MultiScanner
@@ -547,6 +655,8 @@ WORKLOADS = {
     "multi": bench_multi,
     "jaspar": bench_jaspar,
     "jasparfull": bench_jasparfull,
+    "multiprot": bench_multiprot,
+    "multilong": bench_multilong,
     "sampler": bench_sampler,
     "tfmp": bench_tfmp,
     "meshone": bench_meshone,

@@ -124,9 +124,24 @@ class MultiBatchScanner:
         """Bind a new batch of records, reusing the packed motif set
         (and, when ``pad_to`` keeps shapes fixed, the compiled
         programs)."""
-        self._concat, self._offsets, self._lengths = _concatenate(
+        return self.rebind_prepared(self.prepare(seqs, pad_to))
+
+    def prepare(self, seqs, pad_to: int | None = None):
+        """Concatenate records and upload the batch to the device
+        WITHOUT binding it.  Thread-safe against a concurrent scan of a
+        previously bound batch: a streaming consumer (the CLI) prepares
+        flight ``n+1`` in its reader thread while flight ``n`` scans,
+        overlapping the host->device transfer with device work."""
+        from .ops.pipeline import DeviceSequence
+
+        concat, offsets, lengths = _concatenate(
             seqs, self.gap, self.pssms[0].alphabet, pad_to)
-        self._scanner.bind(self._concat)
+        return DeviceSequence(concat), offsets, lengths
+
+    def rebind_prepared(self, prepared) -> "MultiBatchScanner":
+        """Bind a batch previously built by :meth:`prepare`."""
+        dseq, self._offsets, self._lengths = prepared
+        self._scanner.bind(dseq)
         return self
 
     def collect_arrays(self):

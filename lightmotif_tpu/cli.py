@@ -228,28 +228,22 @@ def main(argv=None) -> int:
         si = 0
         first = True
         batch_scanner = None  # persists across flights (packed motif DB)
+        if strands and not args.mesh:
+            from .batch import MultiBatchScanner
+
+            batch_scanner = MultiBatchScanner(
+                [p for _, _, p in strands],
+                thresholds=[job.threshold for job, _, _ in strands],
+            )
         t_first = None
         bytes_first = 0
         bytes_total = 0
-        for flight, solo, last in _read_flights(args, alphabet, gap,
-                                                args.flight_bytes):
-            # single-flight files skip the fixed-size padding; once a
-            # second flight exists, every flight (even the tail) pads to
-            # flight_bytes so one compiled program serves them all
-            pad_to = None if (first and last) else args.flight_bytes
-            if (not solo and len(flight) > 1 and strands
-                    and not args.mesh):
-                if batch_scanner is None:
-                    from .batch import MultiBatchScanner
-
-                    batch_scanner = MultiBatchScanner(
-                        [p for _, _, p in strands],
-                        thresholds=[job.threshold
-                                    for job, _, _ in strands],
-                    )
-                rec, mo, local, sc = batch_scanner.rebind(
-                    [s for _, s in flight], pad_to=pad_to
-                ).collect_arrays()
+        prepare_fn = batch_scanner.prepare if batch_scanner else None
+        for flight, prep, solo, last in _read_flights(
+                args, alphabet, gap, args.flight_bytes, prepare_fn):
+            if prep is not None:
+                rec, mo, local, sc = \
+                    batch_scanner.rebind_prepared(prep).collect_arrays()
                 # vectorized p-values, one lookup batch per motif
                 pv = np.ones(sc.shape, np.float64)
                 for mid in np.unique(mo):
@@ -304,11 +298,15 @@ def main(argv=None) -> int:
 
 #: Encoded bytes per streaming flight; every batched flight pads to
 #: exactly this length so one compiled device program serves them all.
-DEFAULT_FLIGHT_BYTES = 8 << 20
+#: 16 MB amortizes the fixed per-flight cost (dispatch + round trips,
+#: ~0.1-0.15 s on a tunneled chip) to a few ms/Mbp while keeping RSS
+#: and device residency flat (two prepared flights in flight, ~48 MB).
+DEFAULT_FLIGHT_BYTES = 16 << 20
 
 
-def _read_flights(args, alphabet, gap: int, flight_bytes: int):
-    """Yield ``(records, solo, last)`` flights of bounded size.
+def _read_flights(args, alphabet, gap: int, flight_bytes: int,
+                  prepare_fn=None):
+    """Yield ``(records, prepared, solo, last)`` flights of bounded size.
 
     Replaces the former 32 MB whole-file slurp (round-1 VERDICT): an
     arbitrarily large FASTA streams through fixed-size flights at flat
@@ -317,6 +315,11 @@ def _read_flights(args, alphabet, gap: int, flight_bytes: int):
     device scan (the native encoder releases the GIL).  Records too big
     to batch come out as ``solo`` flights and take the segmented
     single-sequence path.
+
+    When ``prepare_fn(seqs, pad_to)`` is given, the reader thread also
+    concatenates and UPLOADS each batched flight (``prepared`` is its
+    return value), overlapping the host->device transfer of flight
+    ``n+1`` with the device scan of flight ``n``.
     """
     import queue
     import threading
@@ -337,6 +340,20 @@ def _read_flights(args, alphabet, gap: int, flight_bytes: int):
 
     def produce():
         try:
+            first = True
+
+            def emit(flight, solo, last) -> bool:
+                nonlocal first
+                prep = None
+                if prepare_fn is not None and not solo and len(flight) > 1:
+                    # single-flight files skip the fixed-size padding;
+                    # otherwise every flight (even the tail) pads to
+                    # flight_bytes so one compiled program serves all
+                    pad_to = None if (first and last) else flight_bytes
+                    prep = prepare_fn([s for _, s in flight], pad_to)
+                first = False
+                return put((flight, prep, solo, last))
+
             flight, total = [], 0
             for record in read_fasta(args.sequences):
                 if stop.is_set():
@@ -344,17 +361,17 @@ def _read_flights(args, alphabet, gap: int, flight_bytes: int):
                 seq = EncodedSequence.encode_lossy(record.sequence, alphabet)
                 need = len(seq) + gap
                 if flight and total + need > flight_bytes:
-                    if not put((flight, False, False)):
+                    if not emit(flight, False, False):
                         return
                     flight, total = [], 0
                 if need > flight_bytes:
-                    if not put(([(record, seq)], True, False)):
+                    if not emit([(record, seq)], True, False):
                         return
                 else:
                     flight.append((record, seq))
                     total += need
             if flight:
-                put((flight, False, True))
+                emit(flight, False, True)
             put(None)
         except BaseException as e:  # surface reader errors in the main thread
             put(e)
