@@ -12,7 +12,7 @@ device meshes.
 
 from __future__ import annotations
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from .alphabet import (
     DNA,

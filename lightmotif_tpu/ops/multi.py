@@ -165,6 +165,15 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     n_blocks = filters_t.shape[0] // multi_kernel.MAX_MK
     bpw = multi_kernel.BITS_PER_WORD
     n_words = m_pad // bpw
+    if cap * n_words >= 2**31:
+        # the word-mask compaction flattens [cap, n_words]; int32
+        # indexing (jnp.nonzero) caps that product.  Reaching this
+        # needs a candidate ratchet in the millions on a huge motif
+        # set -- raise actionably instead of overflowing inside jax.
+        raise OverflowError(
+            f"candidate capacity {cap} x {n_words} hit words exceeds "
+            "int32 indexing; lower the thresholds or scan fewer "
+            "motifs per pass")
 
     maxv = multi_kernel.prefilter_any(chunk, filters_t, m_max, k)
     any_mask = maxv.reshape(-1) >= 0

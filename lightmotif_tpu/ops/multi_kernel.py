@@ -197,10 +197,14 @@ def _any_kernel(filt_ref, b0_ref, b1_ref, out_ref, *, m_max, k, tile):
 
 def _tile_for(m_pad: int) -> int:
     """Largest power-of-two tile (<= TILE) keeping the [m_pad, tile]
-    f32 score block near 128 MB of VMEM-resident intermediates."""
-    budget = 32 * 1024 * 1024  # f32 elements
+    f32 score block within VMEM.  The budget accounts for Mosaic's
+    double buffering (a 4704-motif database at tile 4096 compiled to a
+    148 MB scoped allocation and OOM'd the 128 MB VMEM); 8M f32
+    elements (32 MB, ~64-70 MB compiled) leaves room for the window
+    rolls and the filter block."""
+    budget = 8 * 1024 * 1024  # f32 elements
     tile = TILE
-    while tile > 4096 and m_pad * tile > budget:
+    while tile > 1024 and m_pad * tile > budget:
         tile //= 2
     return tile
 

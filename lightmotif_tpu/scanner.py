@@ -363,6 +363,14 @@ class MultiScanner:
     #: elements) so device memory stays bounded for big motif sets.
     MAX_SEGMENT_ELEMS = 128 * 1024 * 1024
 
+    #: Motifs per fused-prefilter pass.  Above ~1-2k motifs the union
+    #: of per-motif candidate sets saturates the genome (the
+    #: any-candidate signal carries no sparsity) and the downstream
+    #: [cap, M] stages blow past HBM; whole databases scan the
+    #: device-cached genome once per group instead, which keeps every
+    #: group in the sparse regime the prefilter is built for.
+    GROUP_MOTIFS = 1024
+
     def _collect_raw(self):
         import jax
         import jax.numpy as jnp
@@ -406,83 +414,111 @@ class MultiScanner:
             self._scan_data, dseq.data, need,
             self.pssms[0].alphabet.default_index)
 
+        # whole databases split into motif groups: each group scans the
+        # device-cached genome in the sparse regime the any-prefilter
+        # needs (at M in the thousands the union of candidate sets
+        # saturates the genome and the [cap, M] stages blow past HBM)
+        gsize = min(self.GROUP_MOTIFS, mcount) if fused else mcount
+        gstarts = list(range(0, mcount, gsize))
+        multi_group = len(gstarts) > 1
+
+        if self._dev is not None and fused and "groups" not in self._dev:
+            self._dev = None  # packed before a backend flip; rebuild
         if self._dev is None:
             # pack + upload the motif database once per scanner
             dev = {}
             if fused:
-                dev["filt"] = jnp.asarray(multi_kernel.pack_filters_any(
-                    self.dm_stack, self.t_scaled, k))
+                rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
+                dev["groups"] = []
+                for s in gstarts:
+                    e = min(s + gsize, mcount)
+                    gm = gsize if multi_group else e - s
+                    # pad every group to one fixed shape (and bucket
+                    # m_max to whole contraction blocks) so a single
+                    # compiled program serves all groups; padded motif
+                    # slots never pass (threshold > 255 -> NEG_GUARD,
+                    # +inf f32 threshold, zero valid window)
+                    dm_g = np.zeros(
+                        (gm,) + self.dm_stack.shape[1:], np.float32)
+                    dm_g[: e - s] = self.dm_stack[s:e]
+                    ts_g = np.full(gm, 1 << 20, np.int64)
+                    ts_g[: e - s] = self.t_scaled[s:e]
+                    th_g = np.full(gm, np.inf, np.float32)
+                    th_g[: e - s] = self.thresholds[s:e]
+                    pssm_g = np.zeros(
+                        (gm,) + self.pssm_stack.shape[1:], np.float32)
+                    pssm_g[: e - s] = self.pssm_stack[s:e]
+                    m_g = int(self.lengths[s:e].max())
+                    m_bucket = (-(-m_g // rpb) * rpb) if multi_group \
+                        else m_g
+                    dev["groups"].append({
+                        "start": s,
+                        "count": e - s,
+                        "m_max": m_bucket,
+                        "filt": jnp.asarray(
+                            multi_kernel.pack_filters_any(dm_g, ts_g, k)),
+                        "pssm": jnp.asarray(pssm_g),
+                        "th": jnp.asarray(th_g),
+                    })
             dev["dm"] = jnp.asarray(self.dm_stack)
             dev["pssm"] = jnp.asarray(self.pssm_stack)
             dev["len"] = jnp.asarray(self.lengths)
             dev["ts"] = jnp.asarray(self.t_scaled)
             dev["th"] = jnp.asarray(self.thresholds)
             self._dev = dev
-        filt_dev = self._dev.get("filt")
         dm_dev = self._dev["dm"]
         pssm_dev = self._dev["pssm"]
         len_dev = self._dev["len"]
         ts_dev = self._dev["ts"]
         th_dev = self._dev["th"]
 
+        def run_one(off, n_here, cap, dense, group):
+            if group is not None:
+                n_here2d = np.zeros(
+                    (1, group["filt"].shape[1]), np.int32)
+                s, c = group["start"], group["count"]
+                n_here2d[0, :c] = n_here[s:s + c]
+                return multi.scan_multi_segment_fused(
+                    data, np.int32(off), jnp.asarray(n_here2d),
+                    group["filt"], group["pssm"], group["th"],
+                    chunk_len, cap, group["m_max"], k, dense)
+            return multi.scan_multi_segment(
+                data, np.int32(off), jnp.asarray(n_here), dm_dev,
+                pssm_dev, len_dev, ts_dev, th_dev, chunk_len, cap,
+                dense)
+
         out_pos, out_mot, out_sc = [], [], []
         off = 0
         dense = self._dense
         while off < n_total:
             n_here = np.clip(n_valid - off, 0, seg).astype(np.int32)
-            cap = self.capacity
-            while True:
-                if fused:
-                    n_here2d = np.zeros(
-                        (1, filt_dev.shape[1]), np.int32)
-                    n_here2d[0, :mcount] = n_here
-                    counts, packed = multi.scan_multi_segment_fused(
-                        data,
-                        np.int32(off),
-                        jnp.asarray(n_here2d),
-                        filt_dev,
-                        pssm_dev,
-                        th_dev,
-                        chunk_len,
-                        cap,
-                        m_max,
-                        k,
-                        dense,
-                    )
-                else:
-                    counts, packed = multi.scan_multi_segment(
-                        data,
-                        np.int32(off),
-                        jnp.asarray(n_here),
-                        dm_dev,
-                        pssm_dev,
-                        len_dev,
-                        ts_dev,
-                        th_dev,
-                        chunk_len,
-                        cap,
-                        dense,
-                    )
-                # counters + hit head in one blocking transfer (see
-                # Scanner._scan_segments)
-                head = packed[:, : min(cap, HEAD_SLOTS)]
-                counts_h, head_h = jax.device_get((counts, head))
-                count, n_kept, valid = (int(v) for v in counts_h)
-                if count <= cap and valid:
-                    break
-                dense = True
-                if count > cap:
-                    cap = max(cap, 1 << (count - 1).bit_length())
-            self.capacity = cap
-            self._dense = dense
-            if n_kept:
-                if n_kept <= head_h.shape[1]:
-                    arr = np.asarray(head_h[:, :n_kept])
-                else:
-                    arr = np.asarray(jax.device_get(packed[:, :n_kept]))
-                out_pos.append(arr[0] + off)
-                out_mot.append(arr[1])
-                out_sc.append(arr[2].view(np.float32))
+            for group in (self._dev["groups"] if fused else [None]):
+                cap = self.capacity
+                while True:
+                    counts, packed = run_one(off, n_here, cap, dense,
+                                             group)
+                    # counters + hit head in one blocking transfer (see
+                    # Scanner._scan_segments)
+                    head = packed[:, : min(cap, HEAD_SLOTS)]
+                    counts_h, head_h = jax.device_get((counts, head))
+                    count, n_kept, valid = (int(v) for v in counts_h)
+                    if count <= cap and valid:
+                        break
+                    dense = True
+                    if count > cap:
+                        cap = max(cap, 1 << (count - 1).bit_length())
+                self.capacity = cap
+                self._dense = dense
+                if n_kept:
+                    if n_kept <= head_h.shape[1]:
+                        arr = np.asarray(head_h[:, :n_kept])
+                    else:
+                        arr = np.asarray(
+                            jax.device_get(packed[:, :n_kept]))
+                    out_pos.append(arr[0] + off)
+                    out_mot.append(
+                        arr[1] + (group["start"] if group else 0))
+                    out_sc.append(arr[2].view(np.float32))
             off += seg
 
         if not out_pos:

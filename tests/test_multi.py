@@ -412,3 +412,25 @@ def test_capacity_not_a_block_multiple(genome):
            for h in MultiScanner(motifs, genome, -12.0,
                                  capacity=odd_cap).collect()]
     assert got == want
+
+
+def test_motif_group_batching(genome, monkeypatch):
+    """Whole-database scans split into motif groups (round 3): grouped
+    results must equal the single-group scan, ids correctly offset."""
+    from lightmotif_tpu.ops import kernels
+
+    motifs = make_motifs() + [p.reverse_complement()
+                              for p in make_motifs()]
+    ths = [-10.0, -3.0, -5.0] * 2
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        want = [(h.motif, h.position, h.score)
+                for h in MultiScanner(motifs, genome, ths).collect()]
+        monkeypatch.setattr(MultiScanner, "GROUP_MOTIFS", 2)
+        got = [(h.motif, h.position, h.score)
+               for h in MultiScanner(motifs, genome, ths).collect()]
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    assert want and got == want
