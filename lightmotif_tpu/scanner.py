@@ -321,6 +321,7 @@ class MultiScanner:
         self._bound = None  # identity of the bound host sequence
         self._scan_data = None
         self._dense = False
+        self._group_state = {}  # per-motif-group (cap, dense) ratchets
         if seq is not None:
             self.bind(seq)
 
@@ -489,11 +490,16 @@ class MultiScanner:
 
         out_pos, out_mot, out_sc = [], [], []
         off = 0
-        dense = self._dense
+        # capacity / dense-compaction state is tracked PER GROUP:
+        # candidate density varies wildly across motif groups, and the
+        # [cap, W] extraction stages scale with cap -- one hot group
+        # must not inflate every other group's work
         while off < n_total:
             n_here = np.clip(n_valid - off, 0, seg).astype(np.int32)
-            for group in (self._dev["groups"] if fused else [None]):
-                cap = self.capacity
+            for gi, group in enumerate(
+                    self._dev["groups"] if fused else [None]):
+                cap, dense = self._group_state.get(
+                    gi, (self.capacity, self._dense))
                 while True:
                     counts, packed = run_one(off, n_here, cap, dense,
                                              group)
@@ -507,8 +513,7 @@ class MultiScanner:
                     dense = True
                     if count > cap:
                         cap = max(cap, 1 << (count - 1).bit_length())
-                self.capacity = cap
-                self._dense = dense
+                self._group_state[gi] = (cap, dense)
                 if n_kept:
                     if n_kept <= head_h.shape[1]:
                         arr = np.asarray(head_h[:, :n_kept])
@@ -520,6 +525,9 @@ class MultiScanner:
                         arr[1] + (group["start"] if group else 0))
                     out_sc.append(arr[2].view(np.float32))
             off += seg
+        # self.capacity / self._dense stay the per-NEW-group seeds;
+        # each group's sticky ratchet lives in _group_state (persists
+        # across bind(), like the old scanner-wide stickiness)
 
         if not out_pos:
             return [], [], []
