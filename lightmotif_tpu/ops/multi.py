@@ -127,24 +127,27 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "chunk_len", "cap", "dense", "m_max", "k"))
+    "chunk_len", "cap", "dense", "m_max", "k", "cap_hits"))
 def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
                              thresholds, chunk_len: int, cap: int,
-                             m_max: int, k: int, dense: bool = False):
+                             m_max: int, k: int, dense: bool = False,
+                             cap_hits: int | None = None):
     """Fused-prefilter variant of :func:`scan_multi_segment`.
 
     Uses the Pallas MXU any-candidate prefilter (:mod:`.multi_kernel`):
     one int32 per position instead of a ``[C, M]`` score matrix, then a
     sparse per-motif matmul over the surviving positions, compactions,
-    and the exact f32 rescore.  Same return convention.
+    and the exact f32 rescore.  Same return convention, except
+    ``counts`` has FOUR entries (see :func:`scan_multi_core`).
     """
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     return scan_multi_core(chunk, n_valid_here, filters_t, pssms,
-                           thresholds, cap, m_max, k, dense)
+                           thresholds, cap, m_max, k, dense, cap_hits)
 
 
 def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
-                    cap: int, m_max: int, k: int, dense: bool):
+                    cap: int, m_max: int, k: int, dense: bool,
+                    cap_hits: int | None = None):
     """Fused multi-motif scan body on an in-register chunk (shared by
     the single-chip segment loop and the mesh shard path).
 
@@ -154,6 +157,17 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     recovers per-motif hit words for the compacted candidate positions
     with a sparse ``[cap, blocks*128]`` one-hot matmul against the same
     filters (exact integer arithmetic in both stages).
+
+    Two independent capacities (round 3): ``cap`` bounds the ANY-
+    candidate positions (which can reach a large fraction of the
+    genome at database scale), while ``cap_hits`` (default ``cap``)
+    bounds everything downstream of the per-position hit test --
+    word/bit extraction, rescore, and the packed output -- which
+    scales with actual discrete HITS, typically orders of magnitude
+    sparser.  Returns ``(counts[4] = [candidates, hit_need, n_kept,
+    valid], packed[3, cap_hits])``: a caller must retry with a larger
+    ``cap`` when ``candidates > cap``, and with a larger ``cap_hits``
+    when ``hit_need > cap_hits``.
     """
     from . import multi_kernel, xla_ops
 
@@ -165,13 +179,13 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     n_blocks = filters_t.shape[0] // multi_kernel.MAX_MK
     bpw = multi_kernel.BITS_PER_WORD
     n_words = m_pad // bpw
-    if cap * n_words >= 2**31:
-        # the word-mask compaction flattens [cap, n_words]; int32
+    if (cap_hits or cap) * n_words >= 2**31:
+        # the word-mask compaction flattens [cap_hits, n_words]; int32
         # indexing (jnp.nonzero) caps that product.  Reaching this
-        # needs a candidate ratchet in the millions on a huge motif
-        # set -- raise actionably instead of overflowing inside jax.
+        # needs a hit ratchet in the millions on a huge motif set --
+        # raise actionably instead of overflowing inside jax.
         raise OverflowError(
-            f"candidate capacity {cap} x {n_words} hit words exceeds "
+            f"hit capacity {cap_hits or cap} x {n_words} words exceeds "
             "int32 indexing; lower the thresholds or scan fewer "
             "motifs per pass")
 
@@ -237,31 +251,45 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     else:
         words, pairs_total = phase_c(pos_idx)
 
-    # pairs extract through two more SMALL compactions -- candidate
-    # words, then bits of surviving words -- so work scales with hits,
-    # not with cap * n_motifs (a flat [cap, M] expansion cost seconds
-    # and gigabytes at M ~ 1024)
-    # (these two levels run over bounded [cap*W] / [cap*16] arrays whose
-    # set bits are inherently spread -- the hierarchical pass would
-    # always fall back, so go straight to the dense sort)
-    wmask = (words != 0).reshape(-1)  # [cap * W]
-    wcount, widx, wvalid = xla_ops.compact_mask(wmask, cap, dense=True)
+    # everything below scales with cap_hits (actual hits), not with
+    # the candidate capacity: at database scale candidates can cover a
+    # quarter of the genome (cap ~ 1M) while real discrete hits stay
+    # in the tens of thousands -- the round-2 formulation ran the word
+    # sort, bit sort, rescore, and final argsort all at [cap] and
+    # cost ~1.9 s/group; at [cap_hits] the same stages are ~50 ms.
+    if cap_hits is None:
+        cap_hits = cap
+
+    # level 0: positions that hit ANY motif (cheap [cap] reduction)
+    has_hit = jnp.any(words != 0, axis=1)
+    hit_count, hrows, hvalid = xla_ops.compact_mask(
+        has_hit, cap_hits, dense=True)
+    hsafe = jnp.minimum(hrows, cap - 1)
+    hlive = hrows < cap
+    words_h = jnp.where(hlive[:, None], words[hsafe], 0)  # [cap_hits, W]
+    wpos_h = jnp.where(hlive, pos_idx[hsafe], chunk_len)
+
+    # level 1: nonzero words of the surviving positions
+    wmask = (words_h != 0).reshape(-1)  # [cap_hits * W]
+    wcount, widx, wvalid = xla_ops.compact_mask(
+        wmask, cap_hits, dense=True)
     wsafe = jnp.minimum(widx, wmask.shape[0] - 1)
     wvals = jnp.where(widx < wmask.shape[0],
-                      jnp.take(words.reshape(-1), wsafe), 0)
-    wrow = jnp.minimum(wsafe // n_words, cap - 1)
-    wpos = pos_idx[wrow]
+                      jnp.take(words_h.reshape(-1), wsafe), 0)
+    wrow = jnp.minimum(wsafe // n_words, cap_hits - 1)
+    wpos = wpos_h[wrow]
     wword = wsafe % n_words
 
+    # level 2: set bits of the surviving words
     bpw = multi_kernel.BITS_PER_WORD
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, bpw), 1)
-    bools = ((wvals[:, None] >> lane16) & 1) != 0  # [cap, 16]
+    bools = ((wvals[:, None] >> lane16) & 1) != 0  # [cap_hits, 16]
     flat = bools.reshape(-1)
     pair_count, pair_idx, pair_valid = xla_ops.compact_mask(
-        flat, cap, dense=True)
+        flat, cap_hits, dense=True)
     pair_idx = jnp.minimum(pair_idx, flat.shape[0])
 
-    rows = jnp.minimum(pair_idx // bpw, cap - 1)
+    rows = jnp.minimum(pair_idx // bpw, cap_hits - 1)
     positions = wpos[rows]
     motif_ids = jnp.minimum(wword[rows] * bpw + pair_idx % bpw, mcount - 1)
 
@@ -282,12 +310,12 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         jnp.take(motif_ids, order),
         jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
     ])
-    count = jnp.maximum(
-        jnp.maximum(pos_count, wcount),
+    hit_need = jnp.maximum(
+        jnp.maximum(hit_count, wcount),
         jnp.maximum(pairs_total, pair_count),
     )
-    valid = (pos_valid & wvalid & pair_valid).astype(jnp.int32)
-    return jnp.stack([count, n_kept, valid]), packed
+    valid = (pos_valid & hvalid & wvalid & pair_valid).astype(jnp.int32)
+    return jnp.stack([pos_count, hit_need, n_kept, valid]), packed
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_len", "cap", "dense"))
@@ -327,4 +355,7 @@ def scan_multi_segment(seq, off, n_valid_here, dms, pssms, lengths,
         jnp.take(motif_ids, order),
         jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
     ])
-    return jnp.stack([count, n_kept, valid.astype(jnp.int32)]), packed
+    # same 4-entry counts convention as scan_multi_core (its single
+    # capacity plays both the candidate and the hit role)
+    return jnp.stack(
+        [count, count, n_kept, valid.astype(jnp.int32)]), packed

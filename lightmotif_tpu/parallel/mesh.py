@@ -427,12 +427,14 @@ def sharded_multi_scan(
         counts, packed = _sharded_multi_impl(
             shards_dev, *args, chunk, cap, m_max, k, _MeshHolder(mesh),
             dense)
-        counts = np.asarray(jax.device_get(counts))  # [n_dev, 3]
-        worst = int(counts[:, 0].max(initial=0))
-        all_valid = bool(counts[:, 2].min(initial=1))
+        counts = np.asarray(jax.device_get(counts))  # [n_dev, 4]
+        # one shared capacity plays both the candidate and hit role on
+        # the mesh path; ratchet it to whichever need is larger
+        worst = int(np.max(counts[:, :2], initial=0))
+        all_valid = bool(counts[:, 3].min(initial=1))
         if worst <= cap and all_valid:
             break
-        if dense:
+        if dense and worst <= cap:
             raise OverflowError(f"hit buffer overflow ({worst} > {cap})")
         dense = True
         if worst > cap:
@@ -441,7 +443,7 @@ def sharded_multi_scan(
     hits = []
     for shard in packed.addressable_shards:
         d = shard.index[0].start or 0
-        n_kept = int(counts[d, 1])
+        n_kept = int(counts[d, 2])
         if n_kept:
             arr = np.asarray(shard.data)[0, :, :n_kept]
             for p, mo, sb in zip(arr[0], arr[1],

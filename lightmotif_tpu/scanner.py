@@ -473,7 +473,7 @@ class MultiScanner:
         ts_dev = self._dev["ts"]
         th_dev = self._dev["th"]
 
-        def run_one(off, n_here, cap, dense, group):
+        def run_one(off, n_here, cap, cap_hits, dense, group):
             if group is not None:
                 n_here2d = np.zeros(
                     (1, group["filt"].shape[1]), np.int32)
@@ -482,11 +482,12 @@ class MultiScanner:
                 return multi.scan_multi_segment_fused(
                     data, np.int32(off), jnp.asarray(n_here2d),
                     group["filt"], group["pssm"], group["th"],
-                    chunk_len, cap, group["m_max"], k, dense)
+                    chunk_len, cap, group["m_max"], k, dense,
+                    cap_hits)
             return multi.scan_multi_segment(
                 data, np.int32(off), jnp.asarray(n_here), dm_dev,
-                pssm_dev, len_dev, ts_dev, th_dev, chunk_len, cap,
-                dense)
+                pssm_dev, len_dev, ts_dev, th_dev, chunk_len,
+                max(cap, cap_hits), dense)
 
         out_pos, out_mot, out_sc = [], [], []
         off = 0
@@ -498,22 +499,26 @@ class MultiScanner:
             n_here = np.clip(n_valid - off, 0, seg).astype(np.int32)
             for gi, group in enumerate(
                     self._dev["groups"] if fused else [None]):
-                cap, dense = self._group_state.get(
-                    gi, (self.capacity, self._dense))
+                cap, cap_hits, dense = self._group_state.get(
+                    gi, (self.capacity, self.capacity, self._dense))
                 while True:
-                    counts, packed = run_one(off, n_here, cap, dense,
-                                             group)
+                    counts, packed = run_one(off, n_here, cap,
+                                             cap_hits, dense, group)
                     # counters + hit head in one blocking transfer (see
                     # Scanner._scan_segments)
-                    head = packed[:, : min(cap, HEAD_SLOTS)]
+                    head = packed[:, : min(cap_hits, HEAD_SLOTS)]
                     counts_h, head_h = jax.device_get((counts, head))
-                    count, n_kept, valid = (int(v) for v in counts_h)
-                    if count <= cap and valid:
+                    count, hit_need, n_kept, valid = (
+                        int(v) for v in counts_h)
+                    if count <= cap and hit_need <= cap_hits and valid:
                         break
                     dense = True
                     if count > cap:
                         cap = max(cap, 1 << (count - 1).bit_length())
-                self._group_state[gi] = (cap, dense)
+                    if hit_need > cap_hits:
+                        cap_hits = max(
+                            cap_hits, 1 << (hit_need - 1).bit_length())
+                self._group_state[gi] = (cap, cap_hits, dense)
                 if n_kept:
                     if n_kept <= head_h.shape[1]:
                         arr = np.asarray(head_h[:, :n_kept])
