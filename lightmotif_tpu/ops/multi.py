@@ -260,23 +260,27 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     if cap_hits is None:
         cap_hits = cap
 
-    # level 0: positions that hit ANY motif (cheap [cap] reduction)
+    # level 0: positions that hit ANY motif (cheap [cap] reduction);
+    # hit positions are a subset of candidates, so this stage never
+    # needs more than min(cap, cap_hits) slots -- keeping the level-1
+    # word domain c0*W small even when pairs ratchet cap_hits high
+    c0 = min(cap, cap_hits)
     has_hit = jnp.any(words != 0, axis=1)
     hit_count, hrows, hvalid = xla_ops.compact_mask(
-        has_hit, cap_hits, dense=True)
+        has_hit, c0, dense=True)
     hsafe = jnp.minimum(hrows, cap - 1)
     hlive = hrows < cap
-    words_h = jnp.where(hlive[:, None], words[hsafe], 0)  # [cap_hits, W]
+    words_h = jnp.where(hlive[:, None], words[hsafe], 0)  # [c0, W]
     wpos_h = jnp.where(hlive, pos_idx[hsafe], chunk_len)
 
     # level 1: nonzero words of the surviving positions
-    wmask = (words_h != 0).reshape(-1)  # [cap_hits * W]
+    wmask = (words_h != 0).reshape(-1)  # [c0 * W]
     wcount, widx, wvalid = xla_ops.compact_mask(
         wmask, cap_hits, dense=True)
     wsafe = jnp.minimum(widx, wmask.shape[0] - 1)
     wvals = jnp.where(widx < wmask.shape[0],
                       jnp.take(words_h.reshape(-1), wsafe), 0)
-    wrow = jnp.minimum(wsafe // n_words, cap_hits - 1)
+    wrow = jnp.minimum(wsafe // n_words, c0 - 1)
     wpos = wpos_h[wrow]
     wword = wsafe % n_words
 

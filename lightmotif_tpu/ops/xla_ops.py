@@ -182,12 +182,15 @@ def compact_mask(mask: jax.Array, cap: int, dense: bool = False):
     """
     orig_n = mask.shape[0]
     if dense:
-        if cap <= _DENSE_SEARCH_CAP:
+        if cap <= _DENSE_SEARCH_CAP or cap * 32 < orig_n:
             # k-th-set-bit extraction via cumsum + searchsorted: ~3x
             # faster than the full-length sort nonzero lowers to
             # (11.6 ms vs 37.5 ms on a 4M mask at cap 64k); the
-            # cap*log(N) random gathers lose past ~512k, where the
-            # sort path takes over
+            # cap*log(N) random gathers lose past ~512k on masks of a
+            # few M -- but when cap << N (the database-scale word
+            # compactions: cap ~1M over a 67M flat mask) the gathers
+            # are far cheaper than sorting N, so the sort path only
+            # takes over when cap is within a factor ~32 of N
             csum = jnp.cumsum(mask.astype(jnp.int32))
             count = csum[-1]
             idx = jnp.searchsorted(
