@@ -115,14 +115,20 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     m_max = pssms.shape[1]
     k = pssms.shape[2]
     lp = seq.shape[0]
-    acc = jnp.zeros(positions.shape, jnp.float32)
-    for j in range(m_max):
-        sym = seq[jnp.clip(positions + j, 0, lp - 1)].astype(jnp.int32)
-        row = pssms[motif_ids, j]  # [cap, K]
-        val = row[:, k - 1]
-        for s in range(k - 2, -1, -1):
-            val = jnp.where(sym == s, row[:, s], val)
-        acc = acc + val
+    # two flat gathers replace the per-j [cap, K] row gather + select
+    # chain (which cost ~0.7 s at 1M pairs x m=33: K elements fetched
+    # per row per j).  Gather volume drops K-fold; the adds still run
+    # in ascending-j order over the value columns, so f32 parity with
+    # score_position is preserved (selection is exact either way).
+    jj = jnp.arange(m_max, dtype=jnp.int32)
+    gidx = jnp.clip(positions[:, None] + jj[None, :], 0, lp - 1)
+    sym = seq[gidx].astype(jnp.int32)            # [cap, m_max]
+    flat = pssms.reshape(-1)
+    base = motif_ids.astype(jnp.int32) * (m_max * k)
+    val = flat[base[:, None] + jj[None, :] * k + sym]  # [cap, m_max]
+    acc = val[:, 0]
+    for j in range(1, m_max):
+        acc = acc + val[:, j]
     return acc
 
 
