@@ -399,8 +399,10 @@ def bench_multiprot(ctx):
     record("multiprotwin",
            f"{len(tall)} protein motifs (m=40, windows fallback) x 1 Mres",
            round(wall_t, 3), "s",
-           f"{n_t} hits; {gpm_t / 1e9:.1f} Gpos*motif/s e2e -- the "
-           "measured cost of the silent fused->windows transition")
+           f"{n_t} hits; {gpm_t / 1e6:.0f} Mpos*motif/s e2e "
+           f"({wall / max(wall_t, 1e-9):.1f}x the fused wall per "
+           "motif*res) -- the measured cost of the fused->windows "
+           "transition")
 
 
 def bench_multilong(ctx):

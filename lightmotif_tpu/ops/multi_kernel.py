@@ -195,18 +195,24 @@ def _any_kernel(filt_ref, b0_ref, b1_ref, out_ref, *, m_max, k, tile):
     out_ref[:] = jnp.max(scores, axis=0, keepdims=True).astype(jnp.int32)
 
 
-def _tile_for(m_pad: int) -> int:
+def _tile_for(m_pad: int, n_blocks: int = 1) -> int:
     """Largest power-of-two tile (<= TILE) keeping the [m_pad, tile]
     f32 score block within VMEM.  The budget accounts for Mosaic's
     double buffering (a 4704-motif database at tile 4096 compiled to a
     148 MB scoped allocation and OOM'd the 128 MB VMEM); 8M f32
     elements (32 MB, ~64-70 MB compiled) leaves room for the window
-    rolls and the filter block."""
+    rolls and the filter block.  Long motifs (several contraction
+    blocks) also scale the in-kernel window-construction arrays
+    (``[128, tile + m]`` per block, which the unrolled block loop
+    keeps live), so the tile shrinks with the block count (an
+    m=128 / 8-block set OOM'd scoped VMEM at tile 32768)."""
     budget = 8 * 1024 * 1024  # f32 elements
     tile = TILE
+    if n_blocks > 1:
+        tile >>= (n_blocks - 1).bit_length()  # 2->16k, 3/4->8k, 8->4k
     while tile > 1024 and m_pad * tile > budget:
         tile //= 2
-    return tile
+    return max(tile, 1024)
 
 
 @functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
@@ -225,7 +231,8 @@ def prefilter_any(seq, filters_t, m_max: int, k: int,
 
     lp = seq.shape[0]
     if tile is None:
-        tile = _tile_for(filters_t.shape[1])
+        rpb = MAX_MK // _lanes_for(k)
+        tile = _tile_for(filters_t.shape[1], -(-m_max // rpb))
     assert lp % tile == 0
     grid = lp // tile
     view = seq.reshape(1, lp)

@@ -45,6 +45,11 @@ __all__ = [
 ]
 
 
+#: Hit-buffer head fetched together with the counters in one transfer
+#: (see ``scanner.HEAD_SLOTS``); per-shard slots.
+_HEAD_SLOTS = 8192
+
+
 def make_genome_mesh(devices=None) -> Mesh:
     """A 1-D mesh with a single ``genome`` axis over all devices."""
     if devices is None:
@@ -227,6 +232,13 @@ def sharded_scan(
             dense,
             block_lanes,
         )
+        # single-host: counters AND a hit-buffer head come back in ONE
+        # blocking transfer (the per-shard fetch below added a second
+        # tunnel round trip == half the mesh-of-1 overhead)
+        head_h = None
+        if jax.process_count() == 1:
+            head = packed[:, :, : min(cap, _HEAD_SLOTS)]
+            counts, head_h = jax.device_get((counts, head))
         counts = np.asarray(jax.device_get(counts))  # [n_dev, 3] -- tiny
         worst = int(counts[:, 0].max(initial=0))
         all_valid = bool(counts[:, 2].min(initial=1))
@@ -244,11 +256,14 @@ def sharded_scan(
     # each process emits its shards' hits, like the reference CLI's
     # per-worker output)
     parts_pos, parts_sc = [], []
-    for shard in packed.addressable_shards:
+    for di, shard in enumerate(packed.addressable_shards):
         d = shard.index[0].start or 0
         n_kept = int(counts[d, 1])
         if n_kept:
-            arr = np.asarray(shard.data)[0, :, :n_kept]
+            if head_h is not None and n_kept <= head_h.shape[2]:
+                arr = np.asarray(head_h[d, :, :n_kept])
+            else:
+                arr = np.asarray(shard.data)[0, :, :n_kept]
             parts_pos.append(arr[0])
             parts_sc.append(arr[1].view(np.float32))
     if not parts_pos:
@@ -427,6 +442,10 @@ def sharded_multi_scan(
         counts, packed = _sharded_multi_impl(
             shards_dev, *args, chunk, cap, m_max, k, _MeshHolder(mesh),
             dense)
+        head_h = None
+        if jax.process_count() == 1:
+            head = packed[:, :, : min(cap, _HEAD_SLOTS)]
+            counts, head_h = jax.device_get((counts, head))
         counts = np.asarray(jax.device_get(counts))  # [n_dev, 4]
         # one shared capacity plays both the candidate and hit role on
         # the mesh path; ratchet it to whichever need is larger
@@ -445,7 +464,10 @@ def sharded_multi_scan(
         d = shard.index[0].start or 0
         n_kept = int(counts[d, 2])
         if n_kept:
-            arr = np.asarray(shard.data)[0, :, :n_kept]
+            if head_h is not None and n_kept <= head_h.shape[2]:
+                arr = np.asarray(head_h[d, :, :n_kept])
+            else:
+                arr = np.asarray(shard.data)[0, :, :n_kept]
             for p, mo, sb in zip(arr[0], arr[1],
                                  arr[2].view(np.float32)):
                 hits.append(MultiHit(int(mo), int(p), float(sb)))
