@@ -388,7 +388,8 @@ def bench_multiprot(ctx):
     record("multiprot",
            f"{len(fused)} protein motifs (m 8..32, fused) x 1 Mres",
            round(wall, 3), "s",
-           f"{n_hits} hits; {gpm / 1e9:.0f} Gpos*motif/s e2e; parity "
+           f"{n_hits} hits; {gpm / 1e6:.0f} Mpos*motif/s e2e (small "
+           "workload: one dispatch, wall is round-trip-bound); parity "
            "vs Scanner on the m=32 motif")
 
     tall = build((40,), per=16)      # windows fallback (m > 32)

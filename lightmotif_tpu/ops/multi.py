@@ -34,6 +34,9 @@ import numpy as np
 #: retry ratchets the candidate capacity).
 PHASE_C_BLOCK = 1 << 16
 
+#: Pairs per exact-rescore block (bounds the [blk, m_max] gathers).
+RESCORE_BLOCK = 1 << 16
+
 __all__ = [
     "stack_motifs",
     "score_multi_u8",
@@ -121,15 +124,34 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     # in ascending-j order over the value columns, so f32 parity with
     # score_position is preserved (selection is exact either way).
     jj = jnp.arange(m_max, dtype=jnp.int32)
-    gidx = jnp.clip(positions[:, None] + jj[None, :], 0, lp - 1)
-    sym = seq[gidx].astype(jnp.int32)            # [cap, m_max]
     flat = pssms.reshape(-1)
-    base = motif_ids.astype(jnp.int32) * (m_max * k)
-    val = flat[base[:, None] + jj[None, :] * k + sym]  # [cap, m_max]
-    acc = val[:, 0]
-    for j in range(1, m_max):
-        acc = acc + val[:, j]
-    return acc
+
+    def block(args):
+        pos_b, mo_b = args
+        gidx = jnp.clip(pos_b[:, None] + jj[None, :], 0, lp - 1)
+        sym = seq[gidx].astype(jnp.int32)            # [blk, m_max]
+        base = mo_b.astype(jnp.int32) * (m_max * k)
+        val = flat[base[:, None] + jj[None, :] * k + sym]
+        acc = val[:, 0]
+        for j in range(1, m_max):
+            acc = acc + val[:, j]
+        return acc
+
+    cap = positions.shape[0]
+    blk = RESCORE_BLOCK
+    if cap <= blk:
+        return block((positions, motif_ids))
+    # bound the [blk, m_max] intermediates: a degenerate prefilter can
+    # ratchet pairs into the tens of millions (16 GB unblocked)
+    cap_pad = -(-cap // blk) * blk
+    pad = cap_pad - cap
+    pos_p = positions if not pad else jnp.concatenate(
+        [positions, jnp.zeros((pad,), positions.dtype)])
+    mo_p = motif_ids if not pad else jnp.concatenate(
+        [motif_ids, jnp.zeros((pad,), motif_ids.dtype)])
+    out = jax.lax.map(
+        block, (pos_p.reshape(-1, blk), mo_p.reshape(-1, blk)))
+    return out.reshape(-1)[:cap]
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -64,6 +64,38 @@ def _scan_buffer(cached, dseq_data, need: int, wildcard: int):
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _dense_motif_scan_fn():
+    """Jitted one-pass exact scan of a single motif: full f32 scoring
+    with the production kernel + threshold compaction.  No u8
+    prefilter and no rescore -- the scores ARE exact, so every
+    compacted index is a final hit.  Used for motifs where the u8
+    quantization degenerates (long motifs: the ceil over-estimate
+    slack grows as ~m/255 of the score span, and by m ~ 100 nearly
+    every position passes the discrete test, so two-pass scanning does
+    more work than scoring everything at the kernel's 29 Gpos/s).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import kernels
+
+    def fn(data, pssm, threshold, n_scores: int, cap: int, dense: bool):
+        scores = kernels.score_f32(data, pssm, n_scores)
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        mask = (scores >= threshold) & (pos < n_scores)
+        count, idx, valid = xla_ops.compact_mask(mask, cap, dense)
+        safe = jnp.minimum(idx, scores.shape[0] - 1)
+        svals = jnp.where(idx < n_scores, scores[safe], -jnp.inf)
+        n_kept = jnp.minimum(count, cap)
+        packed = jnp.stack(
+            [idx, jax.lax.bitcast_convert_type(svals, jnp.int32)])
+        return (jnp.stack([count, n_kept, valid.astype(jnp.int32)]),
+                packed)
+
+    return jax.jit(fn, static_argnames=("n_scores", "cap", "dense"))
+
+
 @functools.total_ordering
 class Hit:
     """A scored position (reference ``scan.rs:53-92``): ordered by
@@ -372,6 +404,13 @@ class MultiScanner:
     #: group in the sparse regime the prefilter is built for.
     GROUP_MOTIFS = 1024
 
+    #: Motifs longer than this take the dense path (full exact f32
+    #: scoring + compaction) instead of the two-pass prefilter: the u8
+    #: ceil over-estimate slack is ~m/255 of the score span per
+    #: window, so by m ~ 100 nearly every position passes the discrete
+    #: test and pair extraction costs more than scoring everything.
+    DENSE_M_LIMIT = 64
+
     def _collect_raw(self):
         import jax
         import jax.numpy as jnp
@@ -396,7 +435,25 @@ class MultiScanner:
             raise ValueError(f"motif longer than the halo unit ({unit})")
         mcount = len(self.pssms)
         k = self.pssms[0].alphabet.size
-        fused = multi_kernel.supports_fused(m_max, k, mcount)
+        # long motifs bypass the two-pass machinery entirely: the u8
+        # ceil over-estimate slack grows as ~m/255 of the score span,
+        # and by m ~ 100 nearly every position is a discrete candidate
+        # -- full exact f32 scoring + threshold compaction (the dense
+        # path) is both exact and faster.  The fused prefilter then
+        # only needs to cover the short subset.
+        long_sel = self.lengths > self.DENSE_M_LIMIT
+        short_idx = np.nonzero(~long_sel)[0]
+        m_short = int(self.lengths[short_idx].max()) if short_idx.size \
+            else 0
+        fused = short_idx.size > 0 and multi_kernel.supports_fused(
+            m_short, k, int(short_idx.size))
+        dense_idx = np.nonzero(long_sel)[0] if fused else \
+            np.zeros(0, np.int64)
+        if not fused and short_idx.size == 0 and mcount:
+            # every motif is long: dense path alone (no windows pass)
+            fused = True
+            dense_idx = np.arange(mcount)
+            short_idx = np.zeros(0, np.int64)
         # the fused any-prefilter materializes one int32 per position
         # (plus bounded [cap, M] stages); the windows path materializes
         # [segment, M] i32 scores PLUS the [segment, m_max*K] bf16
@@ -419,8 +476,9 @@ class MultiScanner:
         # device-cached genome in the sparse regime the any-prefilter
         # needs (at M in the thousands the union of candidate sets
         # saturates the genome and the [cap, M] stages blow past HBM)
-        gsize = min(self.GROUP_MOTIFS, mcount) if fused else mcount
-        gstarts = list(range(0, mcount, gsize))
+        n_short = int(short_idx.size)
+        gsize = min(self.GROUP_MOTIFS, n_short) if fused else mcount
+        gstarts = list(range(0, n_short, gsize)) if gsize else []
         multi_group = len(gstarts) > 1
 
         if self._dev is not None and fused and "groups" not in self._dev:
@@ -432,8 +490,8 @@ class MultiScanner:
                 rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
                 dev["groups"] = []
                 for s in gstarts:
-                    e = min(s + gsize, mcount)
-                    gm = gsize if multi_group else e - s
+                    ids = short_idx[s:s + gsize]
+                    gm = gsize if multi_group else len(ids)
                     # pad every group to one fixed shape (and bucket
                     # m_max to whole contraction blocks) so a single
                     # compiled program serves all groups; padded motif
@@ -441,20 +499,20 @@ class MultiScanner:
                     # +inf f32 threshold, zero valid window)
                     dm_g = np.zeros(
                         (gm,) + self.dm_stack.shape[1:], np.float32)
-                    dm_g[: e - s] = self.dm_stack[s:e]
+                    dm_g[: len(ids)] = self.dm_stack[ids]
                     ts_g = np.full(gm, 1 << 20, np.int64)
-                    ts_g[: e - s] = self.t_scaled[s:e]
+                    ts_g[: len(ids)] = self.t_scaled[ids]
                     th_g = np.full(gm, np.inf, np.float32)
-                    th_g[: e - s] = self.thresholds[s:e]
+                    th_g[: len(ids)] = self.thresholds[ids]
                     pssm_g = np.zeros(
                         (gm,) + self.pssm_stack.shape[1:], np.float32)
-                    pssm_g[: e - s] = self.pssm_stack[s:e]
-                    m_g = int(self.lengths[s:e].max())
+                    pssm_g[: len(ids)] = self.pssm_stack[ids]
+                    m_g = int(self.lengths[ids].max())
                     m_bucket = (-(-m_g // rpb) * rpb) if multi_group \
                         else m_g
                     dev["groups"].append({
-                        "start": s,
-                        "count": e - s,
+                        "ids": ids,
+                        "count": len(ids),
                         "m_max": m_bucket,
                         "filt": jnp.asarray(
                             multi_kernel.pack_filters_any(dm_g, ts_g, k)),
@@ -477,8 +535,7 @@ class MultiScanner:
             if group is not None:
                 n_here2d = np.zeros(
                     (1, group["filt"].shape[1]), np.int32)
-                s, c = group["start"], group["count"]
-                n_here2d[0, :c] = n_here[s:s + c]
+                n_here2d[0, : group["count"]] = n_here[group["ids"]]
                 return multi.scan_multi_segment_fused(
                     data, np.int32(off), jnp.asarray(n_here2d),
                     group["filt"], group["pssm"], group["th"],
@@ -490,7 +547,8 @@ class MultiScanner:
                 max(cap, cap_hits), dense)
 
         out_pos, out_mot, out_sc = [], [], []
-        off = 0
+        off = 0 if n_short or not fused else n_total  # dense-only sets
+                                                      # skip the loop
         # capacity / dense-compaction state is tracked PER GROUP:
         # candidate density varies wildly across motif groups, and the
         # [cap, W] extraction stages scale with cap -- one hot group
@@ -526,10 +584,52 @@ class MultiScanner:
                         arr = np.asarray(
                             jax.device_get(packed[:, :n_kept]))
                     out_pos.append(arr[0] + off)
-                    out_mot.append(
-                        arr[1] + (group["start"] if group else 0))
+                    if group is not None:
+                        ids = np.asarray(group["ids"])
+                        out_mot.append(
+                            ids[np.minimum(arr[1], len(ids) - 1)])
+                    else:
+                        out_mot.append(arr[1])
                     out_sc.append(arr[2].view(np.float32))
             off += seg
+
+        # dense path: long motifs scan the device-cached genome with
+        # the exact f32 kernel + threshold compaction (one dispatch
+        # per motif; no prefilter, no rescore)
+        for i in dense_idx:
+            i = int(i)
+            m_i = int(self.lengths[i])
+            n_i = max(dseq.length - m_i + 1, 0)
+            if n_i == 0:
+                continue
+            pssm_i = jnp.asarray(
+                np.asarray(self.pssms[i].data, np.float32))
+            key = ("dense", i)
+            cap, _, dense = self._group_state.get(
+                key, (self.capacity, self.capacity, self._dense))
+            fn = _dense_motif_scan_fn()
+            while True:
+                counts, packed = fn(
+                    dseq.data, pssm_i,
+                    np.float32(self.thresholds[i]), n_i, cap, dense)
+                head = packed[:, : min(cap, HEAD_SLOTS)]
+                counts_h, head_h = jax.device_get((counts, head))
+                count, n_kept, valid = (int(v) for v in counts_h)
+                if count <= cap and valid:
+                    break
+                dense = True
+                if count > cap:
+                    cap = max(cap, 1 << (count - 1).bit_length())
+            self._group_state[key] = (cap, cap, dense)
+            if n_kept:
+                if n_kept <= head_h.shape[1]:
+                    arr = np.asarray(head_h[:, :n_kept])
+                else:
+                    arr = np.asarray(
+                        jax.device_get(packed[:, :n_kept]))
+                out_pos.append(arr[0])
+                out_mot.append(np.full(n_kept, i, arr[1].dtype))
+                out_sc.append(arr[1].view(np.float32))
         # self.capacity / self._dense stay the per-NEW-group seeds;
         # each group's sticky ratchet lives in _group_state (persists
         # across bind(), like the old scanner-wide stickiness)
