@@ -203,6 +203,19 @@ def preferred_pad() -> int:
     return xla_ops.PAD_MULTIPLE
 
 
+def _auto_block(m: int) -> int:
+    """Block width for a motif of ``m`` rows.  The kernel's scoped
+    VMEM grows with m x block (Mosaic keeps ~m lookup/roll temporaries
+    of one block live; measured ~1.57 MB per row at 65536 lanes --
+    m=65 overflowed the 100 MB budget), so long motifs halve the block
+    until m x block <= 2^21 (~50 MB scoped).  Every candidate divides
+    BLOCK_LANES, so the PAD_LANES geometry keeps working."""
+    b = BLOCK_LANES
+    while b > 1024 and m * b > (1 << 21):
+        b //= 2
+    return b
+
+
 def _supports_pallas(seq, m: int, block_lanes: int) -> bool:
     if m - 1 > block_lanes or seq.shape[0] % (CHUNKS * block_lanes):
         return False
@@ -221,7 +234,7 @@ def score_f32(seq, pssm, n_scores: int, block_lanes: int | None = None):
     :data:`BLOCK_LANES`); interpret-mode tests use small values so the
     kernel's halo/wrap logic runs on tiny shapes without a TPU.
     """
-    bl = BLOCK_LANES if block_lanes is None else block_lanes
+    bl = _auto_block(pssm.shape[0]) if block_lanes is None else block_lanes
     if not _supports_pallas(seq, pssm.shape[0], bl):
         return xla_ops.score_f32(seq, pssm, n_scores)
     return _score_chunked(seq, pssm, n_scores, bl, False)
@@ -229,7 +242,7 @@ def score_f32(seq, pssm, n_scores: int, block_lanes: int | None = None):
 
 def score_u8(seq, dm, n_scores: int, block_lanes: int | None = None):
     """Saturated discrete scores (== reference u8 scores) as int32."""
-    bl = BLOCK_LANES if block_lanes is None else block_lanes
+    bl = _auto_block(dm.shape[0]) if block_lanes is None else block_lanes
     if not _supports_pallas(seq, dm.shape[0], bl):
         return xla_ops.score_u8(seq, dm, n_scores)
     table = dm.astype(jnp.float32)

@@ -602,8 +602,14 @@ class MultiScanner:
             n_i = max(dseq.length - m_i + 1, 0)
             if n_i == 0:
                 continue
-            pssm_i = jnp.asarray(
-                np.asarray(self.pssms[i].data, np.float32))
+            # bucket the motif length to a multiple of 32 so a whole
+            # database compiles at most a few dense kernels: appended
+            # zero rows add 0.0 to every window exactly (any symbol
+            # looks up 0), and n_scores still uses the true length
+            m_b = -(-m_i // 32) * 32
+            pssm_pad = np.zeros((m_b, k), np.float32)
+            pssm_pad[:m_i] = np.asarray(self.pssms[i].data, np.float32)
+            pssm_i = jnp.asarray(pssm_pad)
             key = ("dense", i)
             cap, _, dense = self._group_state.get(
                 key, (self.capacity, self.capacity, self._dense))
