@@ -407,8 +407,9 @@ def bench_multiprot(ctx):
 
 
 def bench_multilong(ctx):
-    """Mixed-length DNA set with motifs up to 128 rows: everything
-    stays on the fused path since round 3 (MAX_BLOCKS=8)."""
+    """Mixed-length DNA set with motifs up to 128 rows: m <= 64 runs
+    the fused prefilter, m > 64 takes the dense exact-f32 path (the u8
+    prefilter degenerates for long motifs -- DESIGN.md 3.3)."""
     from lightmotif_tpu import CountMatrix, EncodedSequence
     from lightmotif_tpu.ops import multi_kernel
     from lightmotif_tpu.scanner import Scanner
@@ -438,10 +439,11 @@ def bench_multilong(ctx):
     assert sorted(zip(pos[sel].tolist(), sc[sel].tolist())) == want
     gpm = ctx["genome"].size * len(pssms) / wall
     record("multilong",
-           f"{len(pssms)} DNA motifs (m 8..128, all fused) x E. coli",
+           f"{len(pssms)} DNA motifs (m 8..128; fused + dense paths) "
+           "x E. coli",
            round(wall, 3), "s",
-           f"{n_hits} hits; {gpm / 1e9:.0f} Gpos*motif/s e2e; parity "
-           "vs Scanner on an m=128 motif")
+           f"{n_hits} hits; {gpm / 1e9:.1f} Gpos*motif/s e2e; parity "
+           "vs Scanner on an m=128 motif (dense exact-f32 path)")
 
 
 def bench_jaspar(ctx):
