@@ -386,6 +386,15 @@ def sharded_multi_scan(
 
     pssms = list(pssms)
     mcount = len(pssms)
+    if mcount > 2048:
+        # the mesh path runs one fused pass over the whole set; past a
+        # couple thousand motifs the any-prefilter saturates (see
+        # MultiScanner.GROUP_MOTIFS) -- callers should batch groups of
+        # motifs across sharded_multi_scan calls
+        raise ValueError(
+            f"{mcount} motifs in one sharded pass; split the set into "
+            "groups of <= 2048 (the prefilter's candidate union "
+            "saturates the genome at database scale)")
     k = pssms[0].alphabet.size
     dms = [p.to_discrete() for p in pssms]
     pssm_stack, lengths = multi.stack_motifs(
