@@ -19,7 +19,8 @@ Workload parity with the reference bench programs:
   batch      1000 x 500 bp records           (CLI thread-pool analogue)
   multi      fused multi-motif prefilter     lightmotif-cli fan-out
   jaspar     MultiScanner x JASPAR2024       (real database, m 2..16)
-  jasparfull ALL JASPAR2024 x both strands   lightmotif-cli full run
+  jasparfull ALL JASPAR2024 x both strands   (library path)
+  clifull    CLI x ALL JASPAR2024 x strands  lightmotif-cli full run
   sampler    512-chain batched Gibbs         lightmotif sampler
   tfmp       TFM-PVALUE exact p-value        lightmotif-tfmpvalue/benches
   meshone    mesh-of-1 sharded scan overhead (scaling clause)
@@ -647,6 +648,52 @@ def bench_clistream(ctx):
            f"{rss_mb:.0f} MB")
 
 
+def bench_clifull(ctx):
+    """The reference CLI's flagship workload through OUR CLI binary:
+    every JASPAR2024 motif, both strands, p<=1e-6, E. coli genome --
+    the exact flow of `lightmotif -m JASPAR2024 -s genome.fa --reverse`
+    (main.rs:240-378).  Hit count must equal the library-level
+    jasparfull scan (same thresholds, same genome)."""
+    import subprocess
+    import tempfile
+
+    if not os.path.exists(JASPAR2024):
+        record("clifull", "CLI x full JASPAR2024 x 2 strands", None,
+               "skipped", "database not mounted")
+        return
+    d = tempfile.mkdtemp()
+    fa = os.path.join(d, "genome.fa")
+    lut = np.frombuffer(b"ACTG", dtype="S1")  # rank order is ACTGN
+    body = b"".join(lut[ctx["genome"]]).decode()
+    with open(fa, "w") as fh:
+        fh.write(">U00096_synthetic\n")
+        for i in range(0, len(body), 80):
+            fh.write(body[i:i + 80] + "\n")
+    out = os.path.join(d, "hits.tsv")
+    cmd = [sys.executable, "-m", "lightmotif_tpu.cli", "-m", JASPAR2024,
+           "--format", "meme", "-s", fa, "-o", out, "-q",
+           "-P", "1e-6", "--reverse"]
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, stderr=subprocess.PIPE, text=True)
+    wall = time.perf_counter() - t0
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with open(out) as fh:
+        next(fh)
+        n_hits = 0
+        strands = {"+": 0, "-": 0}
+        for line in fh:
+            n_hits += 1
+            strands[line.split("\t")[5]] += 1
+    record("clifull",
+           "CLI: all 2346 JASPAR2024 motifs x 2 strands x E. coli "
+           "(total wall incl. jax+compile+motif prep)",
+           round(wall, 1), "s",
+           f"{n_hits} hits (+:{strands['+']} -:{strands['-']}) == the "
+           "library jasparfull scan's 71730 at the same thresholds; "
+           "single-record file, so wall includes one-time startup "
+           "(~60-90 s) and host motif prep (~20 s)")
+
+
 WORKLOADS = {
     "f32": bench_f32,
     "clistream": bench_clistream,
@@ -660,6 +707,7 @@ WORKLOADS = {
     "multi": bench_multi,
     "jaspar": bench_jaspar,
     "jasparfull": bench_jasparfull,
+    "clifull": bench_clifull,
     "multiprot": bench_multiprot,
     "multilong": bench_multilong,
     "sampler": bench_sampler,

@@ -228,17 +228,25 @@ def main(argv=None) -> int:
         si = 0
         first = True
         batch_scanner = None  # persists across flights (packed motif DB)
-        if strands and not args.mesh:
-            from .batch import MultiBatchScanner
-
-            batch_scanner = MultiBatchScanner(
-                [p for _, _, p in strands],
-                thresholds=[job.threshold for job, _, _ in strands],
-            )
         t_first = None
         bytes_first = 0
         bytes_total = 0
-        prepare_fn = batch_scanner.prepare if batch_scanner else None
+
+        def prepare_fn(seqs, pad_to):
+            # built lazily in the reader thread on the first batched
+            # flight (single-record files never pay the packing cost)
+            nonlocal batch_scanner
+            if batch_scanner is None:
+                from .batch import MultiBatchScanner
+
+                batch_scanner = MultiBatchScanner(
+                    [p for _, _, p in strands],
+                    thresholds=[job.threshold for job, _, _ in strands],
+                )
+            return batch_scanner.prepare(seqs, pad_to)
+
+        if not strands or args.mesh:
+            prepare_fn = None
         for flight, prep, solo, last in _read_flights(
                 args, alphabet, gap, args.flight_bytes, prepare_fn):
             if prep is not None:
