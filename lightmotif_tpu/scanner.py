@@ -477,6 +477,14 @@ class MultiScanner:
         # needs (at M in the thousands the union of candidate sets
         # saturates the genome and the [cap, M] stages blow past HBM)
         n_short = int(short_idx.size)
+        # order the short subset by motif length so each group's
+        # contraction-block bucket (and with it the phase-C window
+        # gathers and the per-pair rescore width) matches its own
+        # longest motif: most of a real database lands in m <= 16
+        # groups whose extraction runs ~3x cheaper than one bucketed
+        # at the global maximum
+        short_idx = short_idx[np.argsort(
+            self.lengths[short_idx], kind="stable")]
         gsize = min(self.GROUP_MOTIFS, n_short) if fused else mcount
         gstarts = list(range(0, n_short, gsize)) if gsize else []
         multi_group = len(gstarts) > 1
@@ -504,12 +512,18 @@ class MultiScanner:
                     ts_g[: len(ids)] = self.t_scaled[ids]
                     th_g = np.full(gm, np.inf, np.float32)
                     th_g[: len(ids)] = self.thresholds[ids]
-                    pssm_g = np.zeros(
-                        (gm,) + self.pssm_stack.shape[1:], np.float32)
-                    pssm_g[: len(ids)] = self.pssm_stack[ids]
                     m_g = int(self.lengths[ids].max())
                     m_bucket = (-(-m_g // rpb) * rpb) if multi_group \
                         else m_g
+                    # the rescore loops over this stack's row axis:
+                    # width m_bucket (>= every group motif), not the
+                    # global maximum -- short-motif groups pay only
+                    # their own length
+                    mw = min(m_bucket, self.pssm_stack.shape[1])
+                    pssm_g = np.zeros(
+                        (gm, m_bucket, self.pssm_stack.shape[2]),
+                        np.float32)
+                    pssm_g[: len(ids), :mw] = self.pssm_stack[ids][:, :mw]
                     dev["groups"].append({
                         "ids": ids,
                         "count": len(ids),
