@@ -434,3 +434,44 @@ def test_motif_group_batching(genome, monkeypatch):
         kernels.INTERPRET = False
         jax.clear_caches()
     assert want and got == want
+
+
+def test_dense_path_edge_cases(genome):
+    """Dense long-motif path: capacity ratchet, -inf threshold (keep
+    every window), and sequences shorter than the long motif."""
+    from lightmotif_tpu.ops import kernels
+
+    rng = np.random.default_rng(77)
+    sites = ["".join("ACTG"[j] for j in rng.integers(0, 4, size=80))
+             for _ in range(3)]
+    long_pssm = CountMatrix.from_sequences(
+        EncodedSequence.encode(s) for s in sites
+    ).to_freq(0.1).to_weight(None).to_scoring()
+    short_pssm = build_pssm()
+    seq = EncodedSequence(rng.integers(0, 4, size=5000, dtype=np.uint8))
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        # capacity 8 forces the dense-path ratchet (every window is a
+        # hit at -inf threshold: 5000 - 80 + 1 = 4921 hits)
+        ms = MultiScanner([short_pssm, long_pssm],
+                          thresholds=[-8.0, -np.inf], capacity=8)
+        mo, pos, sc = ms.scan_arrays(seq)
+        n_long = len(seq) - len(long_pssm) + 1
+        sel = mo == 1
+        assert int(sel.sum()) == n_long
+        host = np.asarray(long_pssm.score_host(seq))
+        assert np.array_equal(sc[sel], host)
+        assert np.array_equal(pos[sel], np.arange(n_long))
+        # a sequence shorter than the long motif: no long hits, no crash
+        tiny = EncodedSequence(
+            rng.integers(0, 4, size=40, dtype=np.uint8))
+        ms2 = MultiScanner([short_pssm, long_pssm],
+                           thresholds=[-8.0, -np.inf])
+        mo2, _, _ = ms2.scan_arrays(tiny)
+        assert not (mo2 == 1).any()
+        assert (mo2 == 0).any()
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
