@@ -402,7 +402,11 @@ class MultiScanner:
     #: [cap, M] stages blow past HBM; whole databases scan the
     #: device-cached genome once per group instead, which keeps every
     #: group in the sparse regime the prefilter is built for.
-    GROUP_MOTIFS = 1024
+    #: Swept on whole JASPAR2024 x 2 strands (length-sorted groups):
+    #: 512 -> 3.7 s, 1024 -> 4.6 s, 2048 -> 5.0 s -- extraction work
+    #: grows superlinearly with per-group candidate density, so
+    #: smaller groups win until the ~0.15 s/group fixed cost bites.
+    GROUP_MOTIFS = 512
 
     #: Motifs longer than this take the dense path (full exact f32
     #: scoring + compaction) instead of the two-pass prefilter: the u8
