@@ -337,10 +337,12 @@ def sharded_argmax(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "cap", "m_max", "k", "mesh_holder", "dense"),
+    static_argnames=("chunk", "cap", "cap_hits", "m_max", "k",
+                     "mesh_holder", "dense"),
 )
 def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
-                        chunk, cap, m_max, k, mesh_holder, dense=False):
+                        chunk, cap, cap_hits, m_max, k, mesh_holder,
+                        dense=False):
     from ..ops import multi
 
     mesh = mesh_holder.mesh
@@ -351,7 +353,7 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
         nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
         counts, packed = multi.scan_multi_core(
             seq, nv, filters_t, pssms, thresholds, cap, m_max, k,
-            dense)
+            dense, cap_hits)
         packed = packed.at[0].add(d * chunk)
         # replicate counters so every host process of a multi-host mesh
         # takes identical retry decisions
@@ -367,119 +369,267 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
     )(shards, filters_t, pssms, thresholds, n_valid_g)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "n_scores", "cap", "mesh_holder", "dense",
+                     "block_lanes"),
+)
+def _sharded_dense_impl(shards, pssm, threshold, chunk, n_scores, cap,
+                        mesh_holder, dense=False, block_lanes=None):
+    """One-pass exact f32 scan of a single (long) motif per shard:
+    the mesh counterpart of ``scanner._dense_motif_scan_fn`` (full
+    Pallas f32 scoring + threshold compaction, no u8 prefilter)."""
+    mesh = mesh_holder.mesh
+
+    def local(shard, pssm, threshold):
+        d = jax.lax.axis_index("genome")
+        seq = shard[0]
+        n_local = jnp.clip(n_scores - d * chunk, 0, chunk)
+        scores = kernels.score_f32(seq, pssm, chunk,
+                                   block_lanes=block_lanes)
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        mask = (scores >= threshold) & (pos < n_local)
+        count, idx, valid = xla_ops.compact_mask(mask, cap, dense)
+        safe = jnp.minimum(idx, scores.shape[0] - 1)
+        svals = jnp.where(idx < chunk, scores[safe], -jnp.inf)
+        n_kept = jnp.minimum(count, cap)
+        packed = jnp.stack([
+            idx + d * chunk,
+            jax.lax.bitcast_convert_type(svals, jnp.int32),
+        ])
+        counts_all = jax.lax.all_gather(
+            jnp.stack([count, n_kept, valid.astype(jnp.int32)]), "genome")
+        return counts_all, packed[None]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("genome"), P(), P()),
+        out_specs=(P(), P("genome")),
+        check_vma=False,
+    )(shards, pssm, threshold)
+
+
 def sharded_multi_scan(
     pssms,
     encoded: np.ndarray,
     thresholds,
     mesh: Mesh | None = None,
     cap: int = 1 << 16,
+    pad_unit: int | None = None,
 ):
     """Scan many PSSMs over a genome sharded across the device mesh.
 
     Every device runs the fused MXU prefilter on its genome shard with
-    the full motif set replicated; accepted hits are front-compacted
-    per shard and merged on the host.  Returns a list of
+    the motif set replicated; accepted hits are front-compacted per
+    shard and merged on the host.  Returns a list of
     :class:`lightmotif_tpu.scanner.MultiHit`.
+
+    Scales to whole databases the same way ``MultiScanner`` does
+    (reference CLI scope, ``lightmotif-cli/src/main.rs:240-378``):
+    the set splits into length-sorted groups of
+    ``MultiScanner.GROUP_MOTIFS`` (past ~1-2k motifs the any-candidate
+    union saturates the genome and the ``[cap, M]`` stages blow past
+    HBM), each group scanning the device-resident shards with its own
+    (cap, cap_hits, dense) ratchet.  Motifs the fused prefilter cannot
+    serve -- longer than ``MultiScanner.DENSE_M_LIMIT``, where the u8
+    ceil over-estimate degenerates, or outside the packed-filter range
+    for this alphabet -- take the exact dense path per shard
+    (:func:`_sharded_dense_impl`), so any motif set a ``MultiScanner``
+    accepts runs on the mesh.
+
+    ``pad_unit`` overrides the dense path's shard alignment (tests
+    pass small units for interpret mode, like :func:`sharded_scan`).
     """
     from ..ops import multi, multi_kernel
-    from ..scanner import MultiHit
+    from ..scanner import MultiHit, MultiScanner
 
     pssms = list(pssms)
     mcount = len(pssms)
-    if mcount > 2048:
-        # the mesh path runs one fused pass over the whole set; past a
-        # couple thousand motifs the any-prefilter saturates (see
-        # MultiScanner.GROUP_MOTIFS) -- callers should batch groups of
-        # motifs across sharded_multi_scan calls
-        raise ValueError(
-            f"{mcount} motifs in one sharded pass; split the set into "
-            "groups of <= 2048 (the prefilter's candidate union "
-            "saturates the genome at database scale)")
+    if not mcount:
+        return []
     k = pssms[0].alphabet.size
-    dms = [p.to_discrete() for p in pssms]
-    pssm_stack, lengths = multi.stack_motifs(
-        [np.asarray(p.data, np.float32) for p in pssms], k)
-    m_max = int(lengths.max())
-    if not multi_kernel.supports_fused(m_max, k, mcount):
-        # quote the same limits supports_fused enforces for this K
-        lanes = multi_kernel._lanes_for(min(k, multi_kernel.LANES_PER_ROW_WIDE))
-        max_m = multi_kernel.MAX_BLOCKS * (multi_kernel.MAX_MK // lanes)
-        raise ValueError(
-            "sharded multi-scan requires the fused prefilter "
-            f"(2 <= m <= {max_m} for K = {k}, "
-            f"K <= {multi_kernel.LANES_PER_ROW_WIDE - 1}, TPU platform)")
+    lengths_all = np.asarray(
+        [np.asarray(p.data).shape[0] for p in pssms], np.int64)
     if np.isscalar(thresholds):
         thresholds = [float(thresholds)] * mcount
     thresholds = np.asarray(thresholds, np.float32)
-    t_scaled = np.asarray(
-        [d.scale(t) for d, t in zip(dms, thresholds)], np.int32)
 
-    dm_stack, _ = multi.stack_motifs(
-        [d.data.astype(np.float32) for d in dms], k)
-    filters_t = multi_kernel.pack_filters_any(dm_stack, t_scaled, k)
-    m_pad = filters_t.shape[1]
+    # per-motif routing: fused two-pass prefilter where it is sound
+    # and supported, exact dense scoring everywhere else
+    fusable = np.asarray([
+        m <= MultiScanner.DENSE_M_LIMIT
+        and multi_kernel.supports_fused(int(m), k, 1)
+        for m in lengths_all
+    ])
+    short_idx = np.nonzero(fusable)[0]
+    dense_idx = np.nonzero(~fusable)[0]
+    # length-sorted groups: each group's contraction-block bucket (and
+    # the per-pair rescore width) matches its own longest motif
+    short_idx = short_idx[np.argsort(lengths_all[short_idx],
+                                     kind="stable")]
+    n_short = int(short_idx.size)
+    gsize = min(MultiScanner.GROUP_MOTIFS, n_short)
+    gstarts = list(range(0, n_short, gsize)) if gsize else []
+    multi_group = len(gstarts) > 1
 
     mesh = mesh or make_genome_mesh()
     n_dev = mesh.devices.size
     n = int(encoded.size)
-    # shard widths must tile the fused kernel geometry
-    unit = max(xla_ops.PAD_MULTIPLE, multi_kernel.TILE)
-    n_scores_max = max(n - int(lengths.min()) + 1, 0)
-    chunk = -(-max(n_scores_max, 1) // n_dev)
-    chunk = max(-(-chunk // unit) * unit, unit)
-    width = chunk + unit
     wildcard = k - 1
-    shards = np.full((n_dev, width), wildcard, dtype=np.int8)
-    for d in range(n_dev):
-        start = d * chunk
-        stop = min(start + width, n)
-        if start < n:
-            shards[d, : stop - start] = encoded[start:stop]
-
-    n_valid_g = np.zeros((1, m_pad), np.int32)
-    n_valid_g[0, :mcount] = np.maximum(n - lengths + 1, 0)
-
-    shards_dev = _put_sharded(shards, mesh)
-    args = (
-        jnp.asarray(filters_t),
-        jnp.asarray(pssm_stack),
-        jnp.asarray(thresholds),
-        jnp.asarray(n_valid_g),
-    )
-    dense = False
-    while True:
-        counts, packed = _sharded_multi_impl(
-            shards_dev, *args, chunk, cap, m_max, k, _MeshHolder(mesh),
-            dense)
-        head_h = None
-        if jax.process_count() == 1:
-            head = packed[:, :, : min(cap, _HEAD_SLOTS)]
-            counts, head_h = jax.device_get((counts, head))
-        counts = np.asarray(jax.device_get(counts))  # [n_dev, 4]
-        # one shared capacity plays both the candidate and hit role on
-        # the mesh path; ratchet it to whichever need is larger
-        worst = int(np.max(counts[:, :2], initial=0))
-        all_valid = bool(counts[:, 3].min(initial=1))
-        if worst <= cap and all_valid:
-            break
-        if dense and worst <= cap:
-            raise OverflowError(f"hit buffer overflow ({worst} > {cap})")
-        dense = True
-        if worst > cap:
-            cap = max(cap, 1 << (worst - 1).bit_length())
-
+    holder = _MeshHolder(mesh)
     hits = []
-    for shard in packed.addressable_shards:
-        d = shard.index[0].start or 0
-        n_kept = int(counts[d, 2])
-        if n_kept:
-            if head_h is not None and n_kept <= head_h.shape[2]:
-                arr = np.asarray(head_h[d, :, :n_kept])
-            else:
-                arr = np.asarray(shard.data)[0, :, :n_kept]
-            for p, mo, sb in zip(arr[0], arr[1],
-                                 arr[2].view(np.float32)):
-                hits.append(MultiHit(int(mo), int(p), float(sb)))
+
+    if gstarts:
+        dms = {int(i): pssms[int(i)].to_discrete() for i in short_idx}
+        t_scaled = np.zeros(mcount, np.int64)
+        for i, d in dms.items():
+            t_scaled[i] = d.scale(float(thresholds[i]))
+        pssm_stack, lengths = multi.stack_motifs(
+            [np.asarray(p.data, np.float32) for p in pssms], k)
+        dm_stack = np.zeros_like(pssm_stack)
+        for i, d in dms.items():
+            m_i = int(lengths_all[i])
+            dm_stack[i, :m_i] = d.data.astype(np.float32)
+
+        # shard widths must tile the fused kernel geometry; the halo
+        # (one unit) covers every fused motif (m <= DENSE_M_LIMIT)
+        unit = max(xla_ops.PAD_MULTIPLE, multi_kernel.TILE)
+        m_min = int(lengths_all[short_idx].min())
+        n_scores_max = max(n - m_min + 1, 0)
+        chunk = -(-max(n_scores_max, 1) // n_dev)
+        chunk = max(-(-chunk // unit) * unit, unit)
+        width = chunk + unit
+        shards = np.full((n_dev, width), wildcard, dtype=np.int8)
+        for d in range(n_dev):
+            start = d * chunk
+            stop = min(start + width, n)
+            if start < n:
+                shards[d, : stop - start] = encoded[start:stop]
+        shards_dev = _put_sharded(shards, mesh)
+
+        rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
+        for s in gstarts:
+            ids = short_idx[s:s + gsize]
+            gm = gsize if multi_group else len(ids)
+            # pad every group to one fixed shape (and bucket m to whole
+            # contraction blocks) so one compiled program serves all
+            # groups; padded slots never pass (threshold > 255 ->
+            # NEG_GUARD, +inf f32 threshold, zero valid windows)
+            m_g = int(lengths_all[ids].max())
+            m_bucket = (-(-m_g // rpb) * rpb) if multi_group else m_g
+            mw = min(m_bucket, pssm_stack.shape[1])
+            # slice motif stacks to the group's own bucket width: the
+            # filter block count (and every window gather downstream)
+            # follows THIS group's longest motif, not the database's
+            dm_g = np.zeros((gm, m_bucket, dm_stack.shape[2]),
+                            np.float32)
+            dm_g[: len(ids), :mw] = dm_stack[ids][:, :mw]
+            ts_g = np.full(gm, 1 << 20, np.int64)
+            ts_g[: len(ids)] = t_scaled[ids]
+            th_g = np.full(gm, np.inf, np.float32)
+            th_g[: len(ids)] = thresholds[ids]
+            pssm_g = np.zeros((gm, m_bucket, pssm_stack.shape[2]),
+                              np.float32)
+            pssm_g[: len(ids), :mw] = pssm_stack[ids][:, :mw]
+            filt_g = multi_kernel.pack_filters_any(dm_g, ts_g, k)
+            m_pad = filt_g.shape[1]
+            nv_g = np.zeros((1, m_pad), np.int32)
+            nv_g[0, : len(ids)] = np.maximum(
+                n - lengths_all[ids] + 1, 0)
+            args = (
+                jnp.asarray(filt_g),
+                jnp.asarray(pssm_g),
+                jnp.asarray(th_g),
+                jnp.asarray(nv_g),
+            )
+            g_cap, g_cap_hits, dense = cap, cap, False
+            while True:
+                counts, packed = _sharded_multi_impl(
+                    shards_dev, *args, chunk, g_cap, g_cap_hits,
+                    m_bucket, k, holder, dense)
+                head_h = None
+                if jax.process_count() == 1:
+                    head = packed[:, :, : min(g_cap_hits, _HEAD_SLOTS)]
+                    counts, head_h = jax.device_get((counts, head))
+                counts = np.asarray(jax.device_get(counts))  # [n_dev, 4]
+                count = int(counts[:, 0].max(initial=0))
+                hit_need = int(counts[:, 1].max(initial=0))
+                all_valid = bool(counts[:, 3].min(initial=1))
+                if count <= g_cap and hit_need <= g_cap_hits and all_valid:
+                    break
+                dense = True
+                if count > g_cap:
+                    g_cap = max(g_cap, 1 << (count - 1).bit_length())
+                if hit_need > g_cap_hits:
+                    g_cap_hits = max(
+                        g_cap_hits, 1 << (hit_need - 1).bit_length())
+            ids_arr = np.asarray(ids)
+            for shard in packed.addressable_shards:
+                d = shard.index[0].start or 0
+                n_kept = int(counts[d, 2])
+                if n_kept:
+                    if head_h is not None and n_kept <= head_h.shape[2]:
+                        arr = np.asarray(head_h[d, :, :n_kept])
+                    else:
+                        arr = np.asarray(shard.data)[0, :, :n_kept]
+                    gids = ids_arr[np.minimum(arr[1], len(ids_arr) - 1)]
+                    for p, mo, sb in zip(arr[0], gids,
+                                         arr[2].view(np.float32)):
+                        hits.append(MultiHit(int(mo), int(p), float(sb)))
+
+    # dense path: exact f32 scoring + compaction per shard for motifs
+    # the prefilter cannot serve; motif lengths bucket to multiples of
+    # 32 (appended zero rows add 0.0 to every window exactly) so a
+    # whole database compiles at most a few dense programs
+    dense_shards = {}
+    for i in dense_idx:
+        i = int(i)
+        m_i = int(lengths_all[i])
+        n_i = max(n - m_i + 1, 0)
+        if n_i == 0:
+            continue
+        m_b = -(-m_i // 32) * 32
+        pssm_pad = np.zeros((m_b, k), np.float32)
+        pssm_pad[:m_i] = np.asarray(pssms[i].data, np.float32)
+        unit, halo, block_lanes = _halo_unit(m_b, pad_unit)
+        block_lanes = min(block_lanes, kernels._auto_block(m_b))
+        geom = (unit, halo)
+        if geom not in dense_shards:
+            shards, chunk, _ = shard_sequence(
+                encoded, n_dev, m_b, wildcard, pad_multiple=unit,
+                halo=halo)
+            dense_shards[geom] = (_put_sharded(shards, mesh), chunk)
+        shards_dev, chunk = dense_shards[geom]
+        g_cap, dense = cap, False
+        while True:
+            counts, packed = _sharded_dense_impl(
+                shards_dev, jnp.asarray(pssm_pad),
+                jnp.float32(thresholds[i]), chunk, n_i, g_cap,
+                holder, dense, block_lanes)
+            head_h = None
+            if jax.process_count() == 1:
+                head = packed[:, :, : min(g_cap, _HEAD_SLOTS)]
+                counts, head_h = jax.device_get((counts, head))
+            counts = np.asarray(jax.device_get(counts))  # [n_dev, 3]
+            worst = int(counts[:, 0].max(initial=0))
+            all_valid = bool(counts[:, 2].min(initial=1))
+            if worst <= g_cap and all_valid:
+                break
+            dense = True
+            if worst > g_cap:
+                g_cap = max(g_cap, 1 << (worst - 1).bit_length())
+        for shard in packed.addressable_shards:
+            d = shard.index[0].start or 0
+            n_kept = int(counts[d, 1])
+            if n_kept:
+                if head_h is not None and n_kept <= head_h.shape[2]:
+                    arr = np.asarray(head_h[d, :, :n_kept])
+                else:
+                    arr = np.asarray(shard.data)[0, :, :n_kept]
+                for p, sb in zip(arr[0], arr[1].view(np.float32)):
+                    hits.append(MultiHit(i, int(p), float(sb)))
+
     hits.sort(key=lambda h: (h.motif, h.position))
     return hits
 

@@ -148,3 +148,72 @@ def test_sharded_multi_scan_matches_single(genome_mesh=None):
     a = [(h.motif, h.position, h.score) for h in hits]
     b = [(h.motif, h.position, h.score) for h in single]
     assert a == b
+
+
+def test_sharded_multi_scan_database_scale(monkeypatch):
+    """Whole-database semantics on the mesh: the motif set splits into
+    length-sorted groups (GROUP_MOTIFS monkeypatched small) and long
+    motifs take the exact dense path, matching ``MultiScanner``."""
+    import numpy as np
+
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel import make_genome_mesh, sharded_multi_scan
+    from lightmotif_tpu.parallel import mesh as mesh_mod
+    from lightmotif_tpu.scanner import MultiScanner
+
+    monkeypatch.setattr(MultiScanner, "GROUP_MOTIFS", 2)
+
+    rng = np.random.default_rng(77)
+
+    def motif_of(width):
+        sites = [
+            "".join("ACTG"[j] for j in rng.integers(0, 4, size=width))
+            for _ in range(5)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        return cm.to_freq(0.1).to_weight(None).to_scoring()
+
+    # 5 fused motifs -> 3 groups of 2; one long motif -> dense path
+    motifs = [motif_of(w) for w in (16, 6, 11, 8, 14)]
+    long_pssm = motif_of(70)
+    motifs.append(long_pssm)
+    genome = rng.integers(0, 4, size=50_000, dtype=np.int8)
+    seq = EncodedSequence(genome.astype(np.uint8))
+
+    # a data-dependent long-motif threshold that keeps ~40 hits
+    long_scores = np.asarray(long_pssm.score_host(seq))
+    thresholds = [-6.0] * 5 + [float(np.partition(long_scores, -40)[-40])]
+
+    group_calls, dense_calls = [], []
+    real_multi = mesh_mod._sharded_multi_impl
+    real_dense = mesh_mod._sharded_dense_impl
+
+    def spy_multi(*a, **k):
+        group_calls.append(a[5:])
+        return real_multi(*a, **k)
+
+    def spy_dense(*a, **k):
+        dense_calls.append(a[3:])
+        return real_dense(*a, **k)
+
+    monkeypatch.setattr(mesh_mod, "_sharded_multi_impl", spy_multi)
+    monkeypatch.setattr(mesh_mod, "_sharded_dense_impl", spy_dense)
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        mesh = make_genome_mesh()
+        hits = sharded_multi_scan(
+            motifs, genome, thresholds, mesh=mesh, pad_unit=1024)
+        single = MultiScanner(motifs, seq, thresholds).collect()
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    assert len(group_calls) >= 3, "motif-group batching did not engage"
+    assert dense_calls, "long motif did not take the dense path"
+    a = [(h.motif, h.position, h.score) for h in hits]
+    b = [(h.motif, h.position, h.score) for h in single]
+    assert a == b
+    assert {h.motif for h in hits} == set(range(6))
