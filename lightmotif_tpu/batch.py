@@ -151,12 +151,36 @@ class MultiBatchScanner:
         streaming consumers."""
         if self._offsets is None:
             raise ValueError("no records bound; use rebind(seqs)")
-        mo, pos, sc = self._scanner.collect_arrays()
+        return self._split_hits(self._scanner.collect_arrays(),
+                                self._offsets, self._lengths)
+
+    def dispatch(self):
+        """Queue the scan of the bound batch without blocking; returns
+        a token for :meth:`fetch`.  Rebinding and dispatching the next
+        batch before fetching this one pipelines flights: the device
+        scans batch ``n+1`` while the host formats batch ``n``'s hits
+        (tokens snapshot their own record offsets and device
+        buffers)."""
+        if self._offsets is None:
+            raise ValueError("no records bound; use rebind(seqs)")
+        return (self._scanner.dispatch(), self._offsets, self._lengths)
+
+    def fetch(self, token):
+        """Blocking counterpart of :meth:`dispatch`; same return form
+        as :meth:`collect_arrays`."""
+        inner, offsets, lengths = token
+        return self._split_hits(self._scanner.fetch(inner),
+                                offsets, lengths)
+
+    def _split_hits(self, raw, offsets, lengths):
+        mo, pos, sc = (np.asarray(raw[0], np.int32),
+                       np.asarray(raw[1], np.int64),
+                       np.asarray(raw[2], np.float32))
         if pos.size == 0:
             return (np.zeros(0, np.int64), mo, pos, sc)
-        rec = np.searchsorted(self._offsets, pos, side="right") - 1
-        local = pos - self._offsets[rec]
-        keep = local <= self._lengths[rec] - self._m[mo]
+        rec = np.searchsorted(offsets, pos, side="right") - 1
+        local = pos - offsets[rec]
+        keep = local <= lengths[rec] - self._m[mo]
         return rec[keep], mo[keep], local[keep], sc[keep]
 
     def collect(self) -> list:

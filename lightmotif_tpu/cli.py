@@ -247,45 +247,67 @@ def main(argv=None) -> int:
 
         if not strands or args.mesh:
             prepare_fn = None
-        for flight, prep, solo, last in _read_flights(
-                args, alphabet, gap, args.flight_bytes, prepare_fn):
-            if prep is not None:
-                rec, mo, local, sc = \
-                    batch_scanner.rebind_prepared(prep).collect_arrays()
-                # vectorized p-values, one lookup batch per motif
-                pv = np.ones(sc.shape, np.float64)
-                for mid in np.unique(mo):
-                    sel = mo == mid
-                    pv[sel] = strands[mid][0].dist.pvalues(sc[sel])
-                order = np.lexsort((local, mo, rec))
-                bounds = np.searchsorted(
-                    rec[order], np.arange(len(flight) + 1))
-                for ri, (record, _) in enumerate(flight):
-                    lines = []
-                    for i in order[bounds[ri]:bounds[ri + 1]]:
-                        job, strand, _ = strands[mo[i]]
-                        lines.append(
-                            f"{si + 1}\t{record.name}\t{job.index + 1}\t"
-                            f"{job.name}\t{local[i]}\t{strand}\t"
-                            f"{sc[i]}\t{pv[i]:e}\n")
-                    out.writelines(lines)
-                    n_hits += len(lines)
-                    si += 1
-                if not args.quiet:
-                    print(
-                        f"[{time.perf_counter() - t0:8.2f}s] {si} "
-                        f"sequences, {n_hits} hits", file=sys.stderr)
-            else:
-                for record, seq in flight:
-                    write_hits(si, record.name,
-                               _scan_all(motifs, seq, args))
-                    si += 1
+
+        def emit_batched(flight, token):
+            nonlocal si, n_hits
+            rec, mo, local, sc = batch_scanner.fetch(token)
+            # vectorized p-values, one lookup batch per motif
+            pv = np.ones(sc.shape, np.float64)
+            for mid in np.unique(mo):
+                sel = mo == mid
+                pv[sel] = strands[mid][0].dist.pvalues(sc[sel])
+            order = np.lexsort((local, mo, rec))
+            bounds = np.searchsorted(
+                rec[order], np.arange(len(flight) + 1))
+            for ri, (record, _) in enumerate(flight):
+                lines = []
+                for i in order[bounds[ri]:bounds[ri + 1]]:
+                    job, strand, _ = strands[mo[i]]
+                    lines.append(
+                        f"{si + 1}\t{record.name}\t{job.index + 1}\t"
+                        f"{job.name}\t{local[i]}\t{strand}\t"
+                        f"{sc[i]}\t{pv[i]:e}\n")
+                out.writelines(lines)
+                n_hits += len(lines)
+                si += 1
+            if not args.quiet:
+                print(
+                    f"[{time.perf_counter() - t0:8.2f}s] {si} "
+                    f"sequences, {n_hits} hits", file=sys.stderr)
+            _account(flight)
+
+        def _account(flight):
+            nonlocal first, t_first, bytes_first, bytes_total
             flight_bytes = sum(len(s) for _, s in flight)
             bytes_total += flight_bytes
             if first:
                 t_first = time.perf_counter() - t0
                 bytes_first = flight_bytes
             first = False
+
+        # one flight stays in flight: dispatch flight n+1's device scan
+        # before fetching + formatting flight n's hits, so p-value
+        # lookups and TSV writing overlap device work (each token pins
+        # its own device buffers)
+        pending = None
+        for flight, prep, solo, last in _read_flights(
+                args, alphabet, gap, args.flight_bytes, prepare_fn):
+            if prep is not None:
+                token = batch_scanner.rebind_prepared(prep).dispatch()
+                if pending is not None:
+                    emit_batched(*pending)
+                pending = (flight, token)
+            else:
+                if pending is not None:
+                    emit_batched(*pending)
+                    pending = None
+                for record, seq in flight:
+                    write_hits(si, record.name,
+                               _scan_all(motifs, seq, args))
+                    si += 1
+                _account(flight)
+        if pending is not None:
+            emit_batched(*pending)
         if t_first is not None:
             steady_s = time.perf_counter() - t0 - t_first
             steady_bp = bytes_total - bytes_first

@@ -44,7 +44,105 @@ __all__ = [
     "scan_multi_segment",
     "scan_multi_segment_fused",
     "scan_multi_core",
+    "fine_discretize",
+    "fine_thresholds",
+    "pack_filters_fine",
 ]
+
+
+def fine_discretize(pssm_stack):
+    """u16 discretization of a zero-padded PSSM stack for the phase-C
+    refined hit test.
+
+    Mirrors the reference's u8 quantization (``pwm/mod.rs:720-805``:
+    per-row min offsets, over-estimating ``ceil``) at 16-bit
+    resolution, in f64.  The denominator is 65534, leaving one unit of
+    headroom so f64 rounding in the division can never push a cell past
+    the two-byte split.  Returns ``(data16 uint32 [M, m, K],
+    factor [M] f64, offset [M] f64)``.
+
+    Soundness: ``data16[j, s] >= (pssm[j, s] - offsets[j]) / factor``
+    cell-wise, so ``sum16 >= (score_f32 - offset) / factor`` for every
+    window; with ``t16 = floor((t - offset) / factor)`` a window with
+    ``score >= t`` always has ``sum16 >= t16`` (accumulated f64 error
+    is < 1e-9 and both sides are integers), i.e. the refined test has
+    no false negatives.  256x less over-estimate slack than u8 means
+    ~256x fewer false (position, motif) pairs reach the extraction and
+    exact-rescore stages at database scale.
+    """
+    x = np.asarray(pssm_stack, np.float64)
+    body = x[:, :, :-1] if x.shape[2] > 1 else x
+    with np.errstate(invalid="ignore"):
+        finite = np.where(np.isfinite(body), body, -np.inf)
+        row_max = finite.max(axis=2)
+        row_max = np.where(np.isfinite(row_max), row_max, 0.0)
+        max_score = row_max.sum(axis=1)
+        repl = np.where(np.isinf(body), -max_score[:, None, None], body)
+        offsets = repl.min(axis=2)
+        offset = offsets.sum(axis=1)
+        span = max_score - offset
+        factor = np.where(span > 0, span, 1.0) / 65534.0
+        scaled = np.ceil((x - offsets[:, :, None]) / factor[:, None, None])
+    data16 = np.clip(
+        np.nan_to_num(scaled, nan=0.0, posinf=65535.0, neginf=0.0),
+        0, 65535).astype(np.uint32)
+    return data16, factor, offset
+
+
+def fine_thresholds(thresholds, factor, offset):
+    """f32 thresholds -> u16 thresholds (floored, like
+    ``DiscreteMatrix.scale``).  ``> 65535`` (including ``+inf`` padded
+    slots) becomes the never-pass sentinel 65536 that
+    :func:`pack_filters_fine` folds to a guard; ``-inf`` / below-range
+    clamps to 0 (every window passes the refined test, exactly as it
+    should)."""
+    t = np.asarray(thresholds, np.float64)
+    with np.errstate(invalid="ignore"):
+        t16 = np.floor((t - offset) / factor)
+    t16 = np.where(np.isnan(t16), 65536.0, t16)
+    t16 = np.where(t16 > 65535.0, 65536.0, np.maximum(t16, 0.0))
+    return t16.astype(np.int64)
+
+
+def pack_filters_fine(data16, t16, k: int):
+    """Hi/lo byte filter pair for the phase-C u16 refined test.
+
+    Same ``[(j, s) slot, motif]`` layout as
+    :func:`.multi_kernel.pack_filters` so the one block of windowed
+    one-hots drives both matmuls; ``part16 = 256 * (X @ hi) + X @ lo
+    = sum16 - t16`` exactly (hi/lo bytes and the folded ``-t16``
+    halves are integers with magnitude <= 256 or the power-of-two
+    guard 1024, all exact in bf16; f32 accumulation of < 2^24 integer
+    sums is exact).  The constant slot (row ``lanes - 1``) carries the
+    threshold halves; never-pass motifs (sentinel > 65535, and padded
+    slots) get a -1024 hi guard no window sum can overcome
+    (``256 * 1024 > 65535 + m``).
+    """
+    from . import multi_kernel
+
+    mcount, m_max, _ = data16.shape
+    lanes = multi_kernel._lanes_for(k)
+    rpb = multi_kernel.MAX_MK // lanes
+    bpw = multi_kernel.BITS_PER_WORD
+    m_pad = -(-mcount // bpw) * bpw
+    n_blocks = -(-m_max // rpb)
+    hi = np.zeros((n_blocks * multi_kernel.MAX_MK, m_pad), np.float32)
+    lo = np.zeros_like(hi)
+    d_hi = (data16 >> 8).astype(np.float32)
+    d_lo = (data16 & 255).astype(np.float32)
+    for j in range(m_max):
+        r = (j // rpb) * multi_kernel.MAX_MK + (j % rpb) * lanes
+        hi[r:r + k, :mcount] = d_hi[:, j, :].T
+        lo[r:r + k, :mcount] = d_lo[:, j, :].T
+    t16 = np.asarray(t16, np.int64)
+    never = t16 > 65535
+    tc = np.clip(t16, 0, 65535)
+    hi[lanes - 1, :mcount] = -np.where(
+        never, 1024, tc >> 8).astype(np.float32)
+    lo[lanes - 1, :mcount] = -np.where(
+        never, 0, tc & 255).astype(np.float32)
+    hi[lanes - 1, mcount:] = -1024.0
+    return hi, lo
 
 
 def stack_motifs(matrices, k: int):
@@ -159,7 +257,8 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
 def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
                              thresholds, chunk_len: int, cap: int,
                              m_max: int, k: int, dense: bool = False,
-                             cap_hits: int | None = None):
+                             cap_hits: int | None = None,
+                             filters_fine=None):
     """Fused-prefilter variant of :func:`scan_multi_segment`.
 
     Uses the Pallas MXU any-candidate prefilter (:mod:`.multi_kernel`):
@@ -170,12 +269,13 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
     """
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     return scan_multi_core(chunk, n_valid_here, filters_t, pssms,
-                           thresholds, cap, m_max, k, dense, cap_hits)
+                           thresholds, cap, m_max, k, dense, cap_hits,
+                           filters_fine)
 
 
 def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
                     cap: int, m_max: int, k: int, dense: bool,
-                    cap_hits: int | None = None):
+                    cap_hits: int | None = None, filters_fine=None):
     """Fused multi-motif scan body on an in-register chunk (shared by
     the single-chip segment loop and the mesh shard path).
 
@@ -196,6 +296,15 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     valid], packed[3, cap_hits])``: a caller must retry with a larger
     ``cap`` when ``candidates > cap``, and with a larger ``cap_hits``
     when ``hit_need > cap_hits``.
+
+    ``filters_fine`` (optional ``(hi, lo)`` from
+    :func:`pack_filters_fine`): phase C tests candidates at u16
+    resolution instead of re-running the u8 test -- the same one-hot
+    block drives two byte matmuls, and the ~256x smaller
+    over-estimate slack keeps false pairs out of the extraction and
+    rescore stages (the dominant cost at database scale).  Hits are
+    identical either way (the refined test has no false negatives and
+    the final keep is the exact f32 compare).
     """
     from . import multi_kernel, xla_ops
 
@@ -228,6 +337,11 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         powers[mo, mo // bpw] = float(1 << (mo % bpw))
     pow_dev = jnp.asarray(powers, jnp.bfloat16)
     filt_bf = filters_t.astype(jnp.bfloat16)
+    if filters_fine is not None:
+        fine_hi = filters_fine[0].astype(jnp.bfloat16)
+        fine_lo = filters_fine[1].astype(jnp.bfloat16)
+        assert fine_hi.shape == filters_t.shape, (
+            fine_hi.shape, filters_t.shape)
 
     def phase_c(pos_blk):
         """Per-motif hit words for one block of candidate positions.
@@ -247,10 +361,17 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
             oh = jnp.pad(oh, ((0, 0), (0, pad_rows), (0, 0)))
         x = oh.reshape(blk, n_blocks * multi_kernel.MAX_MK)
         x = x.at[:, lanes - 1].set(True)  # constant lane carries -t
-        part = jnp.dot(
-            x.astype(jnp.bfloat16), filt_bf,
-            preferred_element_type=jnp.float32,
-        )  # [blk, m_pad] == score - t
+        xb = x.astype(jnp.bfloat16)
+        if filters_fine is not None:
+            # u16 refined test: part = sum16 - t16, exactly (byte
+            # matmuls; see pack_filters_fine)
+            part = 256.0 * jnp.dot(
+                xb, fine_hi, preferred_element_type=jnp.float32,
+            ) + jnp.dot(xb, fine_lo, preferred_element_type=jnp.float32)
+        else:
+            part = jnp.dot(
+                xb, filt_bf, preferred_element_type=jnp.float32,
+            )  # [blk, m_pad] == score - t
         mask = (part >= 0) \
             & (pos_blk[:, None] < n_valid_here[0][None, :]) \
             & (pos_blk < chunk_len)[:, None]

@@ -341,19 +341,20 @@ def sharded_argmax(
                      "mesh_holder", "dense"),
 )
 def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
-                        chunk, cap, cap_hits, m_max, k, mesh_holder,
-                        dense=False):
+                        filters_fine, chunk, cap, cap_hits, m_max, k,
+                        mesh_holder, dense=False):
     from ..ops import multi
 
     mesh = mesh_holder.mesh
 
-    def local(shard, filters_t, pssms, thresholds, n_valid_g):
+    def local(shard, filters_t, pssms, thresholds, n_valid_g,
+              filters_fine):
         d = jax.lax.axis_index("genome")
         seq = shard[0]
         nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
         counts, packed = multi.scan_multi_core(
             seq, nv, filters_t, pssms, thresholds, cap, m_max, k,
-            dense, cap_hits)
+            dense, cap_hits, filters_fine)
         packed = packed.at[0].add(d * chunk)
         # replicate counters so every host process of a multi-host mesh
         # takes identical retry decisions
@@ -363,10 +364,10 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("genome"), P(), P(), P(), P()),
+        in_specs=(P("genome"), P(), P(), P(), P(), P()),
         out_specs=(P(), P("genome")),
         check_vma=False,  # pallas_call output has no vma annotation
-    )(shards, filters_t, pssms, thresholds, n_valid_g)
+    )(shards, filters_t, pssms, thresholds, n_valid_g, filters_fine)
 
 
 @functools.partial(
@@ -533,6 +534,10 @@ def sharded_multi_scan(
                               np.float32)
             pssm_g[: len(ids), :mw] = pssm_stack[ids][:, :mw]
             filt_g = multi_kernel.pack_filters_any(dm_g, ts_g, k)
+            # u16 refined phase-C test (see MultiScanner group packing)
+            d16, f16, off16 = multi.fine_discretize(pssm_g)
+            t16 = multi.fine_thresholds(th_g, f16, off16)
+            f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
             m_pad = filt_g.shape[1]
             nv_g = np.zeros((1, m_pad), np.int32)
             nv_g[0, : len(ids)] = np.maximum(
@@ -542,6 +547,7 @@ def sharded_multi_scan(
                 jnp.asarray(pssm_g),
                 jnp.asarray(th_g),
                 jnp.asarray(nv_g),
+                (jnp.asarray(f_hi), jnp.asarray(f_lo)),
             )
             g_cap, g_cap_hits, dense = cap, cap, False
             while True:

@@ -416,6 +416,26 @@ class MultiScanner:
     DENSE_M_LIMIT = 64
 
     def _collect_raw(self):
+        return self._fetch_raw(self._dispatch_raw())
+
+    def _dispatch_raw(self):
+        """Dispatch every device program for the bound sequence WITHOUT
+        blocking on any result; returns a token for :meth:`_fetch_raw`.
+
+        Splitting dispatch from fetch (round 3) does two things:
+
+        * every (segment x motif-group) program queues back-to-back and
+          ALL counters + hit heads come back in ONE transfer at fetch
+          time -- a whole-database scan previously paid one blocking
+          tunnel round trip per group, with the device idle in between;
+        * a streaming consumer (the CLI flights) can dispatch batch
+          ``n+1`` before fetching batch ``n``, overlapping device scan
+          with host-side p-value/TSV formatting.
+
+        The token pins the device sequence buffer, so a later
+        ``bind()`` does not invalidate in-flight work; capacity-ratchet
+        retries happen inside the fetch, per entry.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -428,7 +448,7 @@ class MultiScanner:
         n_valid = np.maximum(dseq.length - self.lengths + 1, 0).astype(np.int32)
         n_total = int(n_valid.max(initial=0))
         if n_total == 0:
-            return [], [], []
+            return {"entries": []}
 
         from .ops import multi_kernel
 
@@ -509,31 +529,40 @@ class MultiScanner:
                     # compiled program serves all groups; padded motif
                     # slots never pass (threshold > 255 -> NEG_GUARD,
                     # +inf f32 threshold, zero valid window)
+                    m_g = int(self.lengths[ids].max())
+                    m_bucket = (-(-m_g // rpb) * rpb) if multi_group \
+                        else m_g
+                    # every per-group stack is sliced to the group's
+                    # own bucket width (>= every group motif, << the
+                    # database maximum): the prefilter's block count,
+                    # the phase-C window matmul, and the rescore row
+                    # loop all pay only this group's length
+                    mw = min(m_bucket, self.pssm_stack.shape[1])
                     dm_g = np.zeros(
-                        (gm,) + self.dm_stack.shape[1:], np.float32)
-                    dm_g[: len(ids)] = self.dm_stack[ids]
+                        (gm, m_bucket, self.dm_stack.shape[2]),
+                        np.float32)
+                    dm_g[: len(ids), :mw] = self.dm_stack[ids][:, :mw]
                     ts_g = np.full(gm, 1 << 20, np.int64)
                     ts_g[: len(ids)] = self.t_scaled[ids]
                     th_g = np.full(gm, np.inf, np.float32)
                     th_g[: len(ids)] = self.thresholds[ids]
-                    m_g = int(self.lengths[ids].max())
-                    m_bucket = (-(-m_g // rpb) * rpb) if multi_group \
-                        else m_g
-                    # the rescore loops over this stack's row axis:
-                    # width m_bucket (>= every group motif), not the
-                    # global maximum -- short-motif groups pay only
-                    # their own length
-                    mw = min(m_bucket, self.pssm_stack.shape[1])
                     pssm_g = np.zeros(
                         (gm, m_bucket, self.pssm_stack.shape[2]),
                         np.float32)
                     pssm_g[: len(ids), :mw] = self.pssm_stack[ids][:, :mw]
+                    # u16 refined phase-C test (multi.fine_discretize):
+                    # ~256x less quantization slack keeps false pairs
+                    # out of the extraction + rescore stages
+                    d16, f16, off16 = multi.fine_discretize(pssm_g)
+                    t16 = multi.fine_thresholds(th_g, f16, off16)
+                    f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
                     dev["groups"].append({
                         "ids": ids,
                         "count": len(ids),
                         "m_max": m_bucket,
                         "filt": jnp.asarray(
                             multi_kernel.pack_filters_any(dm_g, ts_g, k)),
+                        "filt16": (jnp.asarray(f_hi), jnp.asarray(f_lo)),
                         "pssm": jnp.asarray(pssm_g),
                         "th": jnp.asarray(th_g),
                     })
@@ -558,13 +587,37 @@ class MultiScanner:
                     data, np.int32(off), jnp.asarray(n_here2d),
                     group["filt"], group["pssm"], group["th"],
                     chunk_len, cap, group["m_max"], k, dense,
-                    cap_hits)
+                    cap_hits, group["filt16"])
             return multi.scan_multi_segment(
                 data, np.int32(off), jnp.asarray(n_here), dm_dev,
                 pssm_dev, len_dev, ts_dev, th_dev, chunk_len,
                 max(cap, cap_hits), dense)
 
-        out_pos, out_mot, out_sc = [], [], []
+        def launch_fused(gi, group, off, n_here, cap, cap_hits, dense):
+            counts, packed = run_one(off, n_here, cap, cap_hits, dense,
+                                     group)
+            head = packed[:, : min(cap_hits, HEAD_SLOTS)]
+            return {
+                "kind": "fused", "gi": gi, "group": group, "off": off,
+                "n_here": n_here, "cap": cap, "cap_hits": cap_hits,
+                "dense": dense, "counts": counts, "packed": packed,
+                "head": head,
+            }
+
+        dense_fn = _dense_motif_scan_fn()
+
+        def launch_dense(i, pssm_i, n_i, cap, dense):
+            counts, packed = dense_fn(
+                dseq.data, pssm_i,
+                np.float32(self.thresholds[i]), n_i, cap, dense)
+            head = packed[:, : min(cap, HEAD_SLOTS)]
+            return {
+                "kind": "dense", "i": i, "pssm_i": pssm_i, "n_i": n_i,
+                "cap": cap, "dense": dense, "counts": counts,
+                "packed": packed, "head": head,
+            }
+
+        entries = []
         off = 0 if n_short or not fused else n_total  # dense-only sets
                                                       # skip the loop
         # capacity / dense-compaction state is tracked PER GROUP:
@@ -577,38 +630,8 @@ class MultiScanner:
                     self._dev["groups"] if fused else [None]):
                 cap, cap_hits, dense = self._group_state.get(
                     gi, (self.capacity, self.capacity, self._dense))
-                while True:
-                    counts, packed = run_one(off, n_here, cap,
-                                             cap_hits, dense, group)
-                    # counters + hit head in one blocking transfer (see
-                    # Scanner._scan_segments)
-                    head = packed[:, : min(cap_hits, HEAD_SLOTS)]
-                    counts_h, head_h = jax.device_get((counts, head))
-                    count, hit_need, n_kept, valid = (
-                        int(v) for v in counts_h)
-                    if count <= cap and hit_need <= cap_hits and valid:
-                        break
-                    dense = True
-                    if count > cap:
-                        cap = max(cap, 1 << (count - 1).bit_length())
-                    if hit_need > cap_hits:
-                        cap_hits = max(
-                            cap_hits, 1 << (hit_need - 1).bit_length())
-                self._group_state[gi] = (cap, cap_hits, dense)
-                if n_kept:
-                    if n_kept <= head_h.shape[1]:
-                        arr = np.asarray(head_h[:, :n_kept])
-                    else:
-                        arr = np.asarray(
-                            jax.device_get(packed[:, :n_kept]))
-                    out_pos.append(arr[0] + off)
-                    if group is not None:
-                        ids = np.asarray(group["ids"])
-                        out_mot.append(
-                            ids[np.minimum(arr[1], len(ids) - 1)])
-                    else:
-                        out_mot.append(arr[1])
-                    out_sc.append(arr[2].view(np.float32))
+                entries.append(launch_fused(
+                    gi, group, off, n_here, cap, cap_hits, dense))
             off += seg
 
         # dense path: long motifs scan the device-cached genome with
@@ -628,32 +651,92 @@ class MultiScanner:
             pssm_pad = np.zeros((m_b, k), np.float32)
             pssm_pad[:m_i] = np.asarray(self.pssms[i].data, np.float32)
             pssm_i = jnp.asarray(pssm_pad)
-            key = ("dense", i)
             cap, _, dense = self._group_state.get(
-                key, (self.capacity, self.capacity, self._dense))
-            fn = _dense_motif_scan_fn()
-            while True:
-                counts, packed = fn(
-                    dseq.data, pssm_i,
-                    np.float32(self.thresholds[i]), n_i, cap, dense)
-                head = packed[:, : min(cap, HEAD_SLOTS)]
-                counts_h, head_h = jax.device_get((counts, head))
-                count, n_kept, valid = (int(v) for v in counts_h)
-                if count <= cap and valid:
-                    break
-                dense = True
-                if count > cap:
-                    cap = max(cap, 1 << (count - 1).bit_length())
-            self._group_state[key] = (cap, cap, dense)
-            if n_kept:
-                if n_kept <= head_h.shape[1]:
-                    arr = np.asarray(head_h[:, :n_kept])
-                else:
-                    arr = np.asarray(
-                        jax.device_get(packed[:, :n_kept]))
-                out_pos.append(arr[0])
-                out_mot.append(np.full(n_kept, i, arr[1].dtype))
-                out_sc.append(arr[1].view(np.float32))
+                ("dense", i), (self.capacity, self.capacity, self._dense))
+            entries.append(launch_dense(i, pssm_i, n_i, cap, dense))
+
+        return {
+            "entries": entries,
+            "launch_fused": launch_fused,
+            "launch_dense": launch_dense,
+        }
+
+    def _fetch_raw(self, token):
+        """Block on a :meth:`_dispatch_raw` token and return the hit
+        arrays ``(motif_ids, positions, scores)`` ordered by
+        (motif, position).  All counters + hit heads transfer in ONE
+        ``device_get``; entries whose capacities overflowed (rare in
+        steady state -- the per-group ratchets are sticky) retry
+        individually against the token's pinned device buffers."""
+        import jax
+
+        entries = token["entries"]
+        if not entries:
+            return [], [], []
+        batch = jax.device_get(
+            [(e["counts"], e["head"]) for e in entries])
+
+        out_pos, out_mot, out_sc = [], [], []
+        for e, (counts_h, head_h) in zip(entries, batch):
+            if e["kind"] == "fused":
+                while True:
+                    count, hit_need, n_kept, valid = (
+                        int(v) for v in counts_h)
+                    cap, cap_hits, dense = (
+                        e["cap"], e["cap_hits"], e["dense"])
+                    if count <= cap and hit_need <= cap_hits and valid:
+                        break
+                    dense = True
+                    if count > cap:
+                        cap = max(cap, 1 << (count - 1).bit_length())
+                    if hit_need > cap_hits:
+                        cap_hits = max(
+                            cap_hits, 1 << (hit_need - 1).bit_length())
+                    e = token["launch_fused"](
+                        e["gi"], e["group"], e["off"], e["n_here"],
+                        cap, cap_hits, dense)
+                    counts_h, head_h = jax.device_get(
+                        (e["counts"], e["head"]))
+                self._group_state[e["gi"]] = (
+                    e["cap"], e["cap_hits"], e["dense"])
+                if n_kept:
+                    if n_kept <= head_h.shape[1]:
+                        arr = np.asarray(head_h[:, :n_kept])
+                    else:
+                        arr = np.asarray(
+                            jax.device_get(e["packed"][:, :n_kept]))
+                    out_pos.append(arr[0] + e["off"])
+                    if e["group"] is not None:
+                        ids = np.asarray(e["group"]["ids"])
+                        out_mot.append(
+                            ids[np.minimum(arr[1], len(ids) - 1)])
+                    else:
+                        out_mot.append(arr[1])
+                    out_sc.append(arr[2].view(np.float32))
+            else:
+                while True:
+                    count, n_kept, valid = (int(v) for v in counts_h)
+                    cap, dense = e["cap"], e["dense"]
+                    if count <= cap and valid:
+                        break
+                    dense = True
+                    if count > cap:
+                        cap = max(cap, 1 << (count - 1).bit_length())
+                    e = token["launch_dense"](
+                        e["i"], e["pssm_i"], e["n_i"], cap, dense)
+                    counts_h, head_h = jax.device_get(
+                        (e["counts"], e["head"]))
+                self._group_state[("dense", e["i"])] = (
+                    e["cap"], e["cap"], e["dense"])
+                if n_kept:
+                    if n_kept <= head_h.shape[1]:
+                        arr = np.asarray(head_h[:, :n_kept])
+                    else:
+                        arr = np.asarray(
+                            jax.device_get(e["packed"][:, :n_kept]))
+                    out_pos.append(arr[0])
+                    out_mot.append(np.full(n_kept, e["i"], arr[1].dtype))
+                    out_sc.append(arr[1].view(np.float32))
         # self.capacity / self._dense stay the per-NEW-group seeds;
         # each group's sticky ratchet lives in _group_state (persists
         # across bind(), like the old scanner-wide stickiness)
@@ -665,6 +748,23 @@ class MultiScanner:
         scores = np.concatenate(out_sc)
         order = np.lexsort((positions, motif_ids))
         return motif_ids[order], positions[order], scores[order]
+
+    def dispatch(self):
+        """Queue the scan of the bound sequence on the device and
+        return an opaque token (no blocking).  Pass it to
+        :meth:`fetch`; binding another sequence and dispatching again
+        before fetching is allowed -- tokens pin their own device
+        buffers -- which is how a streaming consumer overlaps the scan
+        of batch ``n+1`` with result handling of batch ``n``."""
+        return self._dispatch_raw()
+
+    def fetch(self, token):
+        """Hit arrays ``(motif_ids, positions, scores)`` for a
+        :meth:`dispatch` token (same form as :meth:`collect_arrays`)."""
+        motif_ids, positions, scores = self._fetch_raw(token)
+        return (np.asarray(motif_ids, np.int32),
+                np.asarray(positions, np.int64),
+                np.asarray(scores, np.float32))
 
     def collect_arrays(self):
         """Hits as three NumPy arrays ``(motif_ids, positions, scores)``

@@ -65,3 +65,43 @@ def test_multi_batch_scanner_matches_per_record():
         ]
         got = [(h.motif, h.position, np.float32(h.score)) for h in hits]
         assert got == want
+
+
+def test_multibatch_dispatch_fetch_pipelined():
+    """Two batches in flight at once: dispatch(n+1) before fetch(n)
+    must return each batch's own hits (tokens pin their buffers)."""
+    import numpy as np
+
+    from lightmotif_tpu.batch import MultiBatchScanner
+
+    from .data import build_pssm
+
+    pssm = build_pssm()
+    rng = np.random.default_rng(3)
+    batches = []
+    for b in range(3):
+        seqs = [EncodedSequence(rng.integers(0, 4, size=n, dtype=np.uint8))
+                for n in (400, 700, 250)]
+        batches.append(seqs)
+
+    ms = MultiBatchScanner([pssm], thresholds=-8.0)
+    # sequential oracle
+    want = []
+    for seqs in batches:
+        ms.rebind(seqs, pad_to=2048)
+        want.append(tuple(np.asarray(a) for a in ms.collect_arrays()))
+
+    # pipelined: keep one token in flight
+    got = []
+    pending = None
+    for seqs in batches:
+        token = ms.rebind(seqs, pad_to=2048).dispatch()
+        if pending is not None:
+            got.append(ms.fetch(pending))
+        pending = token
+    got.append(ms.fetch(pending))
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            assert np.array_equal(np.asarray(a), np.asarray(b))

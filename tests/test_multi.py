@@ -475,3 +475,70 @@ def test_dense_path_edge_cases(genome):
     finally:
         kernels.INTERPRET = False
         jax.clear_caches()
+
+
+def test_fine_filters_exact_and_sound():
+    """u16 refined phase-C machinery: the hi/lo byte split reproduces
+    ``sum16 - t16`` exactly, and the refined test never rejects a
+    window whose f32 score passes (soundness: no false negatives)."""
+    from lightmotif_tpu.ops import multi, multi_kernel
+
+    rng = np.random.default_rng(99)
+    k = 5
+    m_max = 13
+    mcount = 6
+    pssm_stack = rng.normal(0.0, 3.0, size=(mcount, m_max, k)).astype(
+        np.float32)
+    pssm_stack[:, :, k - 1] = 0.0          # wildcard column
+    pssm_stack[0, 2, 1] = -np.inf          # an impossible symbol
+    pssm_stack[3, m_max - 3:] = 0.0        # a shorter (zero-padded) motif
+
+    d16, f16, off16 = multi.fine_discretize(pssm_stack)
+    # cell-wise over-estimation against the function's own offset rule
+    # (-inf cells replaced by -max_score, reference pwm/mod.rs:667-680)
+    for mo in range(mcount):
+        body = pssm_stack[mo].astype(np.float64)
+        max_score = np.where(np.isfinite(body[:, :k - 1]),
+                             body[:, :k - 1], -np.inf).max(axis=1).sum()
+        repl = np.where(np.isinf(body[:, :k - 1]), -max_score,
+                        body[:, :k - 1])
+        offs = repl.min(axis=1)
+        assert np.isclose(offs.sum(), off16[mo])
+        y = (body - offs[:, None]) / f16[mo]
+        finite = np.isfinite(y)
+        assert (d16[mo][finite] >= np.floor(y[finite])).all()
+        assert d16[mo].max() <= 65535
+
+    thresholds = np.array([-20.0, -5.0, 0.0, -np.inf, 1e9, -3.0],
+                          np.float64)
+    t16 = multi.fine_thresholds(thresholds, f16, off16)
+    assert t16[3] == 0            # -inf -> all-pass
+    assert t16[4] == 65536        # above range -> never-pass sentinel
+    f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
+
+    # emulate phase_c's matmul on random windows and check exactness +
+    # soundness against the f32 sequential-add oracle
+    lanes = multi_kernel._lanes_for(k)
+    rpb = multi_kernel.MAX_MK // lanes
+    n_blocks = -(-m_max // rpb)
+    seq = rng.integers(0, k - 1, size=4000).astype(np.int64)
+    for start in rng.integers(0, len(seq) - m_max, size=200):
+        win = seq[start:start + m_max]
+        x = np.zeros(n_blocks * multi_kernel.MAX_MK, np.float64)
+        for j, s in enumerate(win):
+            x[(j // rpb) * multi_kernel.MAX_MK + (j % rpb) * lanes + s] = 1
+        x[lanes - 1] = 1  # constant threshold slot
+        part16 = 256.0 * (x @ f_hi.astype(np.float64)) \
+            + x @ f_lo.astype(np.float64)
+        for mo in range(mcount):
+            s16 = int(sum(d16[mo, j, s] for j, s in enumerate(win)))
+            if t16[mo] <= 65535:
+                assert part16[mo] == s16 - int(t16[mo])
+            else:
+                assert part16[mo] < 0  # never-pass guard
+            # soundness: f32 score passing implies refined test passes
+            f32 = np.float32(0.0)
+            for j, s in enumerate(win):
+                f32 = np.float32(f32 + pssm_stack[mo, j, s])
+            if np.isfinite(thresholds[mo]) and f32 >= thresholds[mo]:
+                assert part16[mo] >= 0, (mo, start, f32, thresholds[mo])
