@@ -149,27 +149,18 @@ def _scan_all(motifs, seq, args):
                 yield job, strand, hit
         return
     if args.mesh:
-        from .ops import multi_kernel
         from .parallel import sharded_multi_scan
 
-        pssms = [p for _, _, p in strands]
-        m_max = max(len(p) for p in pssms)
-        k = pssms[0].alphabet.size
-        if multi_kernel.supports_fused(m_max, k, len(pssms)):
-            import numpy as np
-
-            hits = sharded_multi_scan(
-                pssms,
-                np.asarray(seq.data, dtype="int8"),
-                [job.threshold for job, _, _ in strands],
-            )
-            for hit in hits:
-                job, strand, _ = strands[hit.motif]
-                yield job, strand, hit
-            return
-        for job, strand, pssm in strands:  # per-motif mesh fallback
-            for hit in _scan(pssm, seq, job.threshold, args):
-                yield job, strand, hit
+        # handles any motif set: length-sorted group batching for the
+        # fused range, exact dense per-shard passes for the rest
+        hits = sharded_multi_scan(
+            [p for _, _, p in strands],
+            np.asarray(seq.data, dtype="int8"),
+            [job.threshold for job, _, _ in strands],
+        )
+        for hit in hits:
+            job, strand, _ = strands[hit.motif]
+            yield job, strand, hit
         return
     from .scanner import MultiScanner
 
