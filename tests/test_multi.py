@@ -542,3 +542,88 @@ def test_fine_filters_exact_and_sound():
                 f32 = np.float32(f32 + pssm_stack[mo, j, s])
             if np.isfinite(thresholds[mo]) and f32 >= thresholds[mo]:
                 assert part16[mo] >= 0, (mo, start, f32, thresholds[mo])
+
+
+def test_dispatch_fetch_pipelined_rebind(genome):
+    """Token-pinning contract: bind()+dispatch() of the next sequence
+    before fetch() of the previous one must not corrupt either result
+    (the CLI overlaps flights this way), even when fetched out of
+    order."""
+    motifs = make_motifs()
+    thresholds = [-10.0, -3.0, -5.0]
+    rng = np.random.default_rng(7)
+    g2 = EncodedSequence.encode(
+        "".join(rng.choice(list("ACGT"), size=30_000)))
+
+    ms = MultiScanner(motifs, genome, thresholds)
+    tok1 = ms.dispatch()
+    ms.bind(g2)
+    tok2 = ms.dispatch()
+    got2 = ms.fetch(tok2)  # out of order on purpose
+    got1 = ms.fetch(tok1)
+
+    exp1 = MultiScanner(motifs, genome, thresholds).collect_arrays()
+    exp2 = MultiScanner(motifs, g2, thresholds).collect_arrays()
+    for got, exp in ((got1, exp1), (got2, exp2)):
+        for a, b in zip(got, exp):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_dispatch_fetch_retry_after_rebind(genome):
+    """Capacity-ratchet retries inside fetch() re-launch against the
+    token's pinned device buffers, not the currently bound sequence:
+    a tiny initial capacity forces the retry after the scanner has
+    been rebound to a different genome."""
+    motifs = make_motifs()
+    thresholds = [-12.0, -4.0, -6.0]  # plenty of candidates
+    rng = np.random.default_rng(11)
+    g2 = EncodedSequence.encode(
+        "".join(rng.choice(list("ACGT"), size=20_000)))
+
+    ms = MultiScanner(motifs, genome, thresholds, capacity=8)
+    tok1 = ms.dispatch()
+    ms.bind(g2)
+    tok2 = ms.dispatch()
+    got1 = ms.fetch(tok1)  # must retry (cap=8) against genome, not g2
+    got2 = ms.fetch(tok2)
+
+    exp1 = MultiScanner(motifs, genome, thresholds).collect_arrays()
+    exp2 = MultiScanner(motifs, g2, thresholds).collect_arrays()
+    assert got1[1].size > 8  # the retry actually happened
+    for got, exp in ((got1, exp1), (got2, exp2)):
+        for a, b in zip(got, exp):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_batch_dispatch_fetch_pipelined():
+    """MultiBatchScanner.dispatch/fetch: tokens snapshot their own
+    record offsets, so rebinding the next flight before fetching the
+    previous one yields both flights' per-record hits intact."""
+    from lightmotif_tpu.batch import MultiBatchScanner
+
+    motifs = make_motifs()
+    thresholds = [-10.0, -3.0, -5.0]
+    rng = np.random.default_rng(21)
+
+    def records(n, seed):
+        r = np.random.default_rng(seed)
+        return [
+            EncodedSequence.encode(
+                "".join(r.choice(list("ACGT"),
+                                 size=int(r.integers(200, 3000)))))
+            for _ in range(n)
+        ]
+
+    flight1, flight2 = records(5, 1), records(7, 2)
+    mbs = MultiBatchScanner(motifs, flight1, thresholds)
+    tok1 = mbs.dispatch()
+    mbs.rebind_prepared(mbs.prepare(flight2))
+    tok2 = mbs.dispatch()
+    got1 = mbs.fetch(tok1)
+    got2 = mbs.fetch(tok2)
+
+    exp1 = MultiBatchScanner(motifs, flight1, thresholds).collect_arrays()
+    exp2 = MultiBatchScanner(motifs, flight2, thresholds).collect_arrays()
+    for got, exp in ((got1, exp1), (got2, exp2)):
+        for a, b in zip(got, exp):
+            np.testing.assert_array_equal(a, b)
