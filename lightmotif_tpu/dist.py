@@ -55,14 +55,11 @@ class ScoreDistribution:
         # Discretized matrix: round((x - offset) * scale); -inf stays a
         # sentinel (the reference's `as i32` saturates -inf to i32::MIN,
         # and the DP skips i32::MIN cells).
-        data = np.empty((rows, k), dtype=np.int64)
         NEG = np.iinfo(np.int32).min
         with np.errstate(invalid="ignore"):
             scaled = np.round((mat.astype(np.float64) - offset) * scale)
-        for i in range(rows):
-            for j in range(k):
-                v = scaled[i, j]
-                data[i, j] = NEG if not np.isfinite(v) else int(v)
+        data = np.where(
+            np.isfinite(scaled), scaled, float(NEG)).astype(np.int64)
 
         # -- PDF by dynamic programming (``dist.rs:163-191``) -------------
         size = rows * CDF_RANGE + 1
@@ -80,17 +77,25 @@ class ScoreDistribution:
                     pdf_new[s : s + max_reach + 1] += window * bg[a]
 
         # -- survival function (``dist.rs:196-213``) ----------------------
-        sf = pdf_new
-        min_score = 0
-        max_score = 0
-        for i in range(size - 2, -1, -1):
-            p_next = sf[i + 1]
-            p_i = sf[i]
-            sf[i] = min(p_i + p_next, 1.0)
-            if max_score == 0 and p_next > 0.0:
-                max_score = i + 1
-            if p_i > 0.0:
-                min_score = i
+        # The reference's loop is ``sf[i] = min(sf[i] + sf[i+1], 1.0)``
+        # from the top down.  Until the clamp first engages no value was
+        # clamped, so the running value IS the sequential reverse suffix
+        # sum; at the first index where that sum exceeds 1 the clamp
+        # yields exactly 1.0, and every index below it then computes
+        # ``min(p + 1.0, 1.0) = 1.0``.  Hence the whole pass equals
+        # ``min(reverse_cumsum(pdf), 1.0)`` BITWISE (cumsum adds in the
+        # same order), which vectorizes the former 15k-iteration Python
+        # loop (~10 ms/motif -> ~50 us; the CLI preps 4692 matrices).
+        pdf = pdf_new
+        sf = np.minimum(np.cumsum(pdf[::-1])[::-1], 1.0)
+        sf[-1] = pdf[-1]  # the loop never writes (or clamps) the top cell
+        # loop-faithful bounds: ``p_i`` scanned indices [0, size-2],
+        # ``p_next`` indices [1, size-1]; both default to 0
+        nz = np.nonzero(pdf)[0]
+        lo = nz[nz <= size - 2]
+        hi = nz[nz >= 1]
+        min_score = int(lo[0]) if lo.size else 0
+        max_score = int(hi[-1]) if hi.size else 0
 
         self.alphabet = alphabet
         self.scale_ = float(scale)
