@@ -386,11 +386,11 @@ class ScoringMatrix(_MatrixBase):
 
     def min_score(self) -> float:
         k = self.alphabet.size
-        return float(_sum_f32(row[: k - 1].min() for row in self.data))
+        return float(_sum_f32(self.data[:, : k - 1].min(axis=1)))
 
     def max_score(self) -> float:
         k = self.alphabet.size
-        return float(_sum_f32(row[: k - 1].max() for row in self.data))
+        return float(_sum_f32(self.data[:, : k - 1].max(axis=1)))
 
     def information_content(self) -> float:
         """``(2^x * b) * x`` summed over finite cells (``pwm/mod.rs:617-634``)."""
@@ -560,14 +560,13 @@ class DiscreteMatrix(_MatrixBase):
         max_score = np.float32(pssm.max_score())
         # Per-row offset: min over the K-1 non-wildcard columns, with
         # infinite cells replaced by -max_score (``pwm/mod.rs:667-680``).
-        offsets = []
-        for row in pssm.data:
-            vals = [
-                np.float32(-max_score) if np.isinf(x) else np.float32(x)
-                for x in row[: k - 1]
-            ]
-            offsets.append(min(vals, key=float) if vals else np.float32(0.0))
-        offsets = np.array(offsets, dtype=np.float32)
+        body = np.asarray(pssm.data[:, : k - 1], dtype=np.float32)
+        if body.shape[1]:
+            offsets = np.where(
+                np.isinf(body), np.float32(-max_score), body).min(axis=1)
+        else:
+            offsets = np.zeros(body.shape[0], np.float32)
+        offsets = np.asarray(offsets, dtype=np.float32)
         offset = _sum_f32(offsets)
         factor = np.float32(
             np.float32(max_score - offset) / np.float32(np.uint8(255))
