@@ -47,6 +47,28 @@ def _unpack4(packed):
     return jnp.stack([lo, hi], axis=1).reshape(-1)
 
 
+@jax.jit
+def _unpack2(packed):
+    """[Lp/4] u8 (four 2-bit ranks per byte) -> [Lp] int8."""
+    parts = jnp.stack(
+        [packed & 3, (packed >> 2) & 3, (packed >> 4) & 3, packed >> 6],
+        axis=1)
+    return parts.reshape(-1).astype(jnp.int8)
+
+
+@jax.jit
+def _unpack2_exc(packed, exc_idx, exc_val):
+    """2-bit unpack + scatter of the exception list (ranks >= 4, i.e.
+    wildcards/gap filler, whose low bits were packed as garbage)."""
+    return _unpack2(packed).at[exc_idx].set(exc_val)
+
+
+#: Exception budget for the 2-bit transfer path as a fraction of the
+#: padded length: above ~1.5% out-of-range ranks the (idx, val) list
+#: stops paying for itself and the 4-bit path takes over.
+_EXC_SHIFT = 6
+
+
 class DeviceSequence:
     """A padded device-resident encoded sequence.
 
@@ -70,10 +92,37 @@ class DeviceSequence:
         pack = PACK_TRANSFER
         if pack is None:
             pack = self.alphabet.size <= 16 and _platform() in ("tpu", "axon")
-        if pack and self.alphabet.size <= 16 and lp % 2 == 0:
+        self.data = None
+        if pack and self.alphabet.size <= 16 and lp % 4 == 0:
+            # 2-bit fast path: ranks 0-3 pack four per byte; the rare
+            # out-of-range ranks (wildcards, record-gap filler) travel
+            # as an (index, value) exception list scattered on device.
+            # Halves the bytes of the 4-bit path -- on a tunneled chip
+            # sequence upload IS the streaming-scan steady state.
+            u = host.view(np.uint8)
+            exc = np.flatnonzero(u & 0xFC)
+            exc_cap = lp >> _EXC_SHIFT
+            if exc.size == 0 or exc.size <= exc_cap:
+                v = u & 3
+                b = (v[0::4] | (v[1::4] << 2) | (v[2::4] << 4)
+                     | (v[3::4] << 6))
+                if exc.size == 0:
+                    self.data = _unpack2(jax.device_put(b))
+                else:
+                    # pad with index 0 writing host[0] -- always the
+                    # true final value there, exception or not
+                    idx = np.zeros(exc_cap, np.int32)
+                    idx[: exc.size] = exc
+                    val = np.full(exc_cap, host[0], np.int8)
+                    val[: exc.size] = host[exc]
+                    self.data = _unpack2_exc(
+                        jax.device_put(b), jax.device_put(idx),
+                        jax.device_put(val))
+        if self.data is None and pack and self.alphabet.size <= 16 \
+                and lp % 2 == 0:
             u = host.view(np.uint8)
             self.data = _unpack4(jax.device_put(u[0::2] | (u[1::2] << 4)))
-        else:
+        if self.data is None:
             self.data = jax.device_put(host)
 
 

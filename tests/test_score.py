@@ -202,3 +202,35 @@ def test_packed_transfer_path():
     s1 = pipe.score(pssm, packed)
     s2 = pipe.score(pssm, plain)
     assert np.array_equal(s1.unstripe(), s2.unstripe())
+
+
+def test_packed_transfer_2bit_regimes():
+    """The 2-bit transfer path must be lossless in every regime: no
+    exceptions (pure ACGT), sparse wildcards (exception scatter, incl.
+    position 0), and exception overflow (falls back to 4-bit)."""
+    from lightmotif_tpu.ops import pipeline
+
+    rng = np.random.default_rng(23)
+    cases = {
+        "clean": rng.integers(0, 4, size=4096, dtype=np.uint8),
+        "sparse_wild": None,
+        "dense_wild": rng.integers(0, 5, size=4096, dtype=np.uint8),
+        "all_wild": np.full(4096, 4, dtype=np.uint8),
+    }
+    sw = rng.integers(0, 4, size=4096, dtype=np.uint8)
+    sw[0] = 4          # exception at index 0 (the pad-slot value)
+    sw[17] = 4
+    sw[4095] = 4
+    cases["sparse_wild"] = sw
+    for name, ranks in cases.items():
+        enc = EncodedSequence(ranks)
+        saved = pipeline.PACK_TRANSFER
+        try:
+            pipeline.PACK_TRANSFER = True
+            packed = pipeline.DeviceSequence(enc)
+            pipeline.PACK_TRANSFER = False
+            plain = pipeline.DeviceSequence(enc)
+        finally:
+            pipeline.PACK_TRANSFER = saved
+        assert np.array_equal(
+            np.asarray(packed.data), np.asarray(plain.data)), name
