@@ -326,7 +326,15 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
             "int32 indexing; lower the thresholds or scan fewer "
             "motifs per pass")
 
-    maxv = multi_kernel.prefilter_any(chunk, filters_t, m_max, k)
+    if filters_fine is not None:
+        # u16 prefilter: ~256x tighter than u8, so the ANY-candidate
+        # union stays sparse even at database scale (the u8 union
+        # saturates the genome above ~1k motifs, which forced small
+        # motif groups); candidates land near true-discrete-hit density
+        maxv = multi_kernel.prefilter_any16(
+            chunk, filters_fine[0], filters_fine[1], m_max, k)
+    else:
+        maxv = multi_kernel.prefilter_any(chunk, filters_t, m_max, k)
     any_mask = maxv.reshape(-1) >= 0
     pos_count, pos_idx, pos_valid = xla_ops.compact_mask(any_mask, cap, dense)
 

@@ -37,8 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["prefilter_any", "pack_filters_any", "supports_fused",
-           "BITS_PER_WORD", "TILE", "NEG_GUARD"]
+__all__ = ["prefilter_any", "prefilter_any16", "pack_filters_any",
+           "supports_fused", "BITS_PER_WORD", "TILE", "NEG_GUARD"]
 
 #: Motifs per packed output word (halfword packing keeps the bit-pack
 #: matmul exact in f32).
@@ -195,6 +195,60 @@ def _any_kernel(filt_ref, b0_ref, b1_ref, out_ref, *, m_max, k, tile):
     out_ref[:] = jnp.max(scores, axis=0, keepdims=True).astype(jnp.int32)
 
 
+def _any16_kernel(hi_ref, lo_ref, b0_ref, b1_ref, out_ref, *,
+                  m_max, k, tile):
+    """u16 variant of :func:`_any_kernel`: the same transposed one-hot
+    drives TWO matmuls against the hi/lo byte planes of the u16
+    discretization (:func:`.multi.fine_discretize`), and the combined
+    ``256 * hi + lo = sum16 - t16`` replaces the u8 ``score - t``.
+
+    Exactness: hi/lo cells and the folded threshold halves are
+    integers <= 1024 (exact bf16); window sums stay < 2^24 in the f32
+    accumulators (u16 window sums are <= 65534 + m by the factor
+    construction, so the -1024 hi guard is unreachable: 256 * 1024 >
+    65534 + m).  ~256x less over-estimate slack than the u8 prefilter
+    keeps the ANY-candidate union from saturating at database scale
+    (at M ~ 4700 the u8 union covers ~87% of genome positions; the
+    candidate list -- and every [cap]-scale stage after it -- shrinks
+    to roughly the true discrete-hit density).
+    """
+    w = m_max - 1
+    lanes = _lanes_for(k)
+    rpb = MAX_MK // lanes
+    width = tile + w
+    s0 = b0_ref[:].astype(jnp.int32)
+    halo = b1_ref[:, :w].astype(jnp.int32)
+    seq_row = jnp.concatenate([s0, halo], axis=1)
+    base = jnp.broadcast_to(seq_row, (lanes, width))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (MAX_MK, 1), 0)
+    smap = sub % lanes
+    is_const = sub == (lanes - 1)
+    n_blocks = -(-m_max // rpb)
+    hi_s = lo_s = None
+    for b in range(n_blocks):
+        blocks = []
+        for r in range(rpb):
+            j = b * rpb + r
+            blocks.append(base if j == 0 else
+                          pltpu.roll(base, width - j, axis=1))
+        xt = jnp.stack(blocks, axis=0).reshape(MAX_MK, width)
+        oh = xt[:, :tile] == smap
+        if b == 0:
+            oh = oh | is_const
+        ohb = oh.astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        ph = jax.lax.dot_general(
+            hi_ref[b * MAX_MK:(b + 1) * MAX_MK, :], ohb,
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        pl_ = jax.lax.dot_general(
+            lo_ref[b * MAX_MK:(b + 1) * MAX_MK, :], ohb,
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        hi_s = ph if hi_s is None else hi_s + ph
+        lo_s = pl_ if lo_s is None else lo_s + pl_
+    part16 = 256.0 * hi_s + lo_s
+    out_ref[:] = jnp.max(part16, axis=0, keepdims=True).astype(jnp.int32)
+
+
 def _tile_for(m_pad: int, n_blocks: int = 1) -> int:
     """Largest power-of-two tile (<= TILE) keeping the [m_pad, tile]
     f32 score block within VMEM.  The budget accounts for Mosaic's
@@ -255,3 +309,47 @@ def prefilter_any(seq, filters_t, m_max: int, k: int,
         ),
         interpret=kernels.INTERPRET,
     )(filters_t.astype(jnp.bfloat16), view, view)
+
+
+@functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
+def prefilter_any16(seq, f_hi, f_lo, m_max: int, k: int,
+                    tile: int | None = None):
+    """u16-resolution ``max_mo (sum16 - t16)`` as int32 ``[1, Lp]``.
+
+    ``f_hi``/``f_lo``: byte-plane filters from
+    :func:`.multi.pack_filters_fine` (same slot layout as
+    :func:`pack_filters_any`).  A position is a candidate for *some*
+    motif iff the output is >= 0; the u16 test has no false negatives
+    vs the exact f32 threshold (see :func:`.multi.fine_discretize`),
+    so this is a drop-in, ~256x tighter replacement for
+    :func:`prefilter_any`."""
+    from . import kernels
+
+    lp = seq.shape[0]
+    if tile is None:
+        rpb = MAX_MK // _lanes_for(k)
+        # two filter planes + two accumulators live in VMEM
+        tile = _tile_for(2 * f_hi.shape[1], -(-m_max // rpb))
+    assert lp % tile == 0
+    grid = lp // tile
+    view = seq.reshape(1, lp)
+    kernel = functools.partial(_any16_kernel, m_max=m_max, k=k, tile=tile)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, (i + 1) % grid),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, lp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=160 * 1024 * 1024,
+        ),
+        interpret=kernels.INTERPRET,
+    )(f_hi.astype(jnp.bfloat16), f_lo.astype(jnp.bfloat16), view, view)

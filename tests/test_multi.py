@@ -317,6 +317,65 @@ def test_prefilter_any_parity(genome):
     assert np.array_equal(got_any[:n_min], want_any[:n_min])
 
 
+def test_prefilter_any16_parity(genome):
+    """The u16 any-prefilter must (a) never reject a position whose
+    exact f32 score passes for some motif (soundness) and (b) compute
+    exactly ``max_mo(sum16 - t16)`` per position."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import kernels, multi, multi_kernel
+
+    motifs = make_motifs()
+    k = motifs[0].alphabet.size
+    pssm_stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    m_max = int(lengths.max())
+    thresholds = np.asarray([-10.0, -3.0, -5.0], np.float64)
+    d16, f16, off16 = multi.fine_discretize(pssm_stack)
+    t16 = multi.fine_thresholds(thresholds, f16, off16)
+    f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
+
+    data = np.asarray(genome.data, np.int8)
+    tile = multi_kernel.TILE
+    lp = -(-data.size // tile) * tile
+    flat = np.full(lp, k - 1, np.int8)
+    flat[:data.size] = data
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        maxv = np.asarray(multi_kernel.prefilter_any16(
+            jnp.asarray(flat), jnp.asarray(f_hi), jnp.asarray(f_lo),
+            m_max, k)).reshape(-1)
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+
+    # oracle: per-motif u16 window sums via numpy
+    want = np.full(lp, -(1 << 18), np.int64)
+    f32_any = np.zeros(lp, bool)
+    for mo, p in enumerate(motifs):
+        m = len(p)
+        dv = d16[mo, :m].astype(np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(
+            flat.astype(np.int64), m)
+        sum16 = dv[np.arange(m)[None, :], win].sum(1)
+        part = sum16 - int(t16[mo])
+        n_valid = data.size - m + 1
+        want[: part.size] = np.maximum(want[: part.size], part)
+        # exact f32 sequential window scores for the soundness check
+        sc = np.asarray(p.score_host(genome))
+        f32_any[: n_valid] |= sc >= np.float32(thresholds[mo])
+
+    n_min = int(data.size - lengths.max() + 1)
+    assert np.array_equal(maxv[:n_min], want[:n_min])
+    # soundness: every exact-f32 pass is a u16 candidate
+    assert not (f32_any[:n_min] & ~(maxv[:n_min] >= 0)).any()
+    # and the u16 candidate set is actually sparser than (or equal to)
+    # the exact hit union plus slack -- sanity that it's a prefilter
+    assert (maxv[:n_min] >= 0).sum() >= f32_any[:n_min].sum()
+
+
 def test_collect_arrays_matches_collect(genome):
     motifs = make_motifs()
     ms = MultiScanner(motifs, genome, [-10.0, -3.0, -5.0])
