@@ -392,8 +392,13 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     # the [blk, m_pad] intermediates scale with the candidate capacity,
     # which the exact-count retry can ratchet far past the default;
     # process candidates in fixed blocks so device memory stays bounded
-    # (ratcheted caps are powers of two, so they divide evenly)
+    # (ratcheted caps are powers of two, so they divide evenly).  The
+    # block also shrinks with the motif count: at database scale
+    # (m_pad in the thousands) a 65536-candidate block would
+    # materialize gigabyte [blk, m_pad] intermediates
     blk = PHASE_C_BLOCK
+    while blk > 1024 and blk * m_pad > (1 << 26):
+        blk //= 2
     if cap > blk:
         # a user-supplied capacity need not divide the block size: pad
         # the candidate list with out-of-range sentinels (masked inside
