@@ -408,9 +408,10 @@ def bench_multiprot(ctx):
 
 
 def bench_multilong(ctx):
-    """Mixed-length DNA set with motifs up to 128 rows: m <= 64 runs
-    the fused prefilter, m > 64 takes the dense exact-f32 path (the u8
-    prefilter degenerates for long motifs -- DESIGN.md 3.3)."""
+    """Mixed-length DNA set with motifs up to 128 rows -- all within
+    the fused u16 prefilter's range since round 3b (the u8 prefilter
+    degenerated past m ~ 64 and used to force a dense path split --
+    DESIGN.md 3.3)."""
     from lightmotif_tpu import CountMatrix, EncodedSequence
     from lightmotif_tpu.ops import multi_kernel
     from lightmotif_tpu.scanner import Scanner
@@ -440,11 +441,11 @@ def bench_multilong(ctx):
     assert sorted(zip(pos[sel].tolist(), sc[sel].tolist())) == want
     gpm = ctx["genome"].size * len(pssms) / wall
     record("multilong",
-           f"{len(pssms)} DNA motifs (m 8..128; fused + dense paths) "
+           f"{len(pssms)} DNA motifs (m 8..128, one fused u16 scan) "
            "x E. coli",
            round(wall, 3), "s",
            f"{n_hits} hits; {gpm / 1e9:.1f} Gpos*motif/s e2e; parity "
-           "vs Scanner on an m=128 motif (dense exact-f32 path)")
+           "vs Scanner on an m=128 motif")
 
 
 def bench_jaspar(ctx):

@@ -433,9 +433,9 @@ def sharded_multi_scan(
     union saturates the genome and the ``[cap, M]`` stages blow past
     HBM), each group scanning the device-resident shards with its own
     (cap, cap_hits, dense) ratchet.  Motifs the fused prefilter cannot
-    serve -- longer than ``MultiScanner.DENSE_M_LIMIT``, where the u8
-    ceil over-estimate degenerates, or outside the packed-filter range
-    for this alphabet -- take the exact dense path per shard
+    serve -- past ``MultiScanner.dense_m_limit(k)`` (the contraction-
+    block geometry, unless overridden) or outside the packed-filter
+    range for this alphabet -- take the exact dense path per shard
     (:func:`_sharded_dense_impl`), so any motif set a ``MultiScanner``
     accepts runs on the mesh.
 
@@ -459,7 +459,7 @@ def sharded_multi_scan(
     # per-motif routing: fused two-pass prefilter where it is sound
     # and supported, exact dense scoring everywhere else
     fusable = np.asarray([
-        m <= MultiScanner.DENSE_M_LIMIT
+        m <= MultiScanner.dense_m_limit(k)
         and multi_kernel.supports_fused(int(m), k, 1)
         for m in lengths_all
     ])
@@ -494,7 +494,7 @@ def sharded_multi_scan(
             dm_stack[i, :m_i] = d.data.astype(np.float32)
 
         # shard widths must tile the fused kernel geometry; the halo
-        # (one unit) covers every fused motif (m <= DENSE_M_LIMIT)
+        # (one unit) covers every fused motif (m <= the block limit)
         unit = max(xla_ops.PAD_MULTIPLE, multi_kernel.TILE)
         m_min = int(lengths_all[short_idx].min())
         n_scores_max = max(n - m_min + 1, 0)

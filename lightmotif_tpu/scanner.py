@@ -409,11 +409,23 @@ class MultiScanner:
     GROUP_MOTIFS = 512
 
     #: Motifs longer than this take the dense path (full exact f32
-    #: scoring + compaction) instead of the two-pass prefilter: the u8
-    #: ceil over-estimate slack is ~m/255 of the score span per
-    #: window, so by m ~ 100 nearly every position passes the discrete
-    #: test and pair extraction costs more than scoring everything.
-    DENSE_M_LIMIT = 64
+    #: scoring + compaction) instead of the two-pass prefilter.
+    #: ``None`` (default) = everything the fused kernel geometry can
+    #: serve (8 contraction blocks: DNA m <= 128, protein m <= 32) --
+    #: since the u16 any-prefilter (round 3) the discrete test stays
+    #: sharp at long m (slack ~m/65534 of the score span; the u8
+    #: prefilter degenerated by m ~ 100, which used to force dense at
+    #: 64).  Set a number to override the split point.
+    DENSE_M_LIMIT: int | None = None
+
+    @classmethod
+    def dense_m_limit(cls, k: int) -> int:
+        if cls.DENSE_M_LIMIT is not None:
+            return cls.DENSE_M_LIMIT
+        from .ops import multi_kernel
+
+        return multi_kernel.MAX_BLOCKS * (
+            multi_kernel.MAX_MK // multi_kernel._lanes_for(k))
 
     def _collect_raw(self):
         return self._fetch_raw(self._dispatch_raw())
@@ -465,7 +477,7 @@ class MultiScanner:
         # -- full exact f32 scoring + threshold compaction (the dense
         # path) is both exact and faster.  The fused prefilter then
         # only needs to cover the short subset.
-        long_sel = self.lengths > self.DENSE_M_LIMIT
+        long_sel = self.lengths > self.dense_m_limit(k)
         short_idx = np.nonzero(~long_sel)[0]
         m_short = int(self.lengths[short_idx].max()) if short_idx.size \
             else 0

@@ -495,11 +495,16 @@ def test_motif_group_batching(genome, monkeypatch):
     assert want and got == want
 
 
-def test_dense_path_edge_cases(genome):
-    """Dense long-motif path: capacity ratchet, -inf threshold (keep
-    every window), and sequences shorter than the long motif."""
+@pytest.mark.parametrize("dense_limit", [None, 64])
+def test_long_motif_edge_cases(genome, monkeypatch, dense_limit):
+    """Long-motif (m=80) edge cases on BOTH routes: the default
+    geometric limit sends it through the fused u16 prefilter, the
+    DENSE_M_LIMIT=64 override through the dense exact-f32 path.
+    Covers the capacity ratchet, -inf threshold (keep every window),
+    and sequences shorter than the motif."""
     from lightmotif_tpu.ops import kernels
 
+    monkeypatch.setattr(MultiScanner, "DENSE_M_LIMIT", dense_limit)
     rng = np.random.default_rng(77)
     sites = ["".join("ACTG"[j] for j in rng.integers(0, 4, size=80))
              for _ in range(3)]

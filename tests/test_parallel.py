@@ -152,8 +152,11 @@ def test_sharded_multi_scan_matches_single(genome_mesh=None):
 
 def test_sharded_multi_scan_database_scale(monkeypatch):
     """Whole-database semantics on the mesh: the motif set splits into
-    length-sorted groups (GROUP_MOTIFS monkeypatched small) and long
-    motifs take the exact dense path, matching ``MultiScanner``."""
+    length-sorted groups (GROUP_MOTIFS monkeypatched small) and motifs
+    past the dense split (DENSE_M_LIMIT overridden down to 64 -- the
+    default geometric limit would need an m > 128 motif, slow in
+    interpret mode) take the exact dense path, matching
+    ``MultiScanner``."""
     import numpy as np
 
     from lightmotif_tpu import CountMatrix, EncodedSequence
@@ -163,6 +166,7 @@ def test_sharded_multi_scan_database_scale(monkeypatch):
     from lightmotif_tpu.scanner import MultiScanner
 
     monkeypatch.setattr(MultiScanner, "GROUP_MOTIFS", 2)
+    monkeypatch.setattr(MultiScanner, "DENSE_M_LIMIT", 64)
 
     rng = np.random.default_rng(77)
 
