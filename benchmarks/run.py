@@ -305,7 +305,7 @@ def bench_multi(ctx):
     import jax.numpy as jnp
 
     from tools.perf import repeat_time
-    from lightmotif_tpu.ops import multi_kernel
+    from lightmotif_tpu.ops import multi, multi_kernel
 
     genome = ctx["genome"]
     L = genome.size
@@ -328,10 +328,28 @@ def bench_multi(ctx):
         jax.device_get(fn(sdev, fdev, jnp.float32(0.0)))
         per, _ = repeat_time(lambda: (fn, (sdev, fdev), 100),
                              r_lo=4, r_hi=64, trials=3)
-        record(f"multi{M}", f"fused any-prefilter, {M} motifs x genome",
+        record(f"multi{M}", f"fused any-prefilter (u8), {M} motifs x genome",
                round(L * M / per / 1e9, 1), "Gpos*motif/s",
                f"{per * 1e3:.1f} ms/genome",
                vs_baseline=round(L * M / per / AVX2_BASELINE, 1))
+        # the production first pass since round 3 runs at u16 resolution
+        # (two byte-plane matmuls; scan_multi_core picks it whenever
+        # fine filters exist) -- measure the kernel users actually hit
+        d16, f16, off16 = multi.fine_discretize(dms)
+        t16 = multi.fine_thresholds(
+            np.full(M, 2400.0, np.float64), f16, off16)
+        f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
+        fh, fl = jax.device_put(f_hi), jax.device_put(f_lo)
+        fn16 = lambda s, hi, lo, carry: multi_kernel.prefilter_any16(
+            s, hi + carry, lo, m, k)
+        jax.device_get(fn16(sdev, fh, fl, jnp.float32(0.0)))
+        per16, _ = repeat_time(lambda: (fn16, (sdev, fh, fl), 100),
+                               r_lo=4, r_hi=64, trials=3)
+        record(f"multi{M}u16",
+               f"fused any-prefilter (u16, production), {M} motifs x genome",
+               round(L * M / per16 / 1e9, 1), "Gpos*motif/s",
+               f"{per16 * 1e3:.1f} ms/genome",
+               vs_baseline=round(L * M / per16 / AVX2_BASELINE, 1))
 
 
 def _multiscan_wall(pssms, seq, thresholds, reps=3):
