@@ -57,6 +57,13 @@ def make_genome_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("genome",))
 
 
+def _chunk_for(n_scores: int, n_shards: int, pad_multiple: int) -> int:
+    """Window starts owned per shard: the per-shard share rounded up to
+    the alignment unit (so the production kernel geometry tiles)."""
+    chunk = -(-max(n_scores, 1) // n_shards)
+    return max(-(-chunk // pad_multiple) * pad_multiple, pad_multiple)
+
+
 def shard_sequence(
     encoded: np.ndarray,
     n_shards: int,
@@ -76,8 +83,7 @@ def shard_sequence(
     """
     n = int(encoded.size)
     n_scores = max(n - motif_len + 1, 0)
-    chunk = -(-max(n_scores, 1) // n_shards)
-    chunk = max(-(-chunk // pad_multiple) * pad_multiple, pad_multiple)
+    chunk = _chunk_for(n_scores, n_shards, pad_multiple)
     if halo is None:
         halo = motif_len - 1
     elif halo < motif_len - 1:
@@ -103,7 +109,12 @@ def _halo_unit(m: int, pad_unit: int | None):
     """
     unit = kernels.preferred_pad() if pad_unit is None else int(pad_unit)
     halo = max(1, -(-(m - 1) // unit)) * unit
-    return unit, halo, unit // kernels.CHUNKS
+    # long motifs must shrink the kernel block exactly like the
+    # single-chip path (score_f32's default) or the per-shard program
+    # blows the scoped-VMEM budget the shrink exists for; _auto_block
+    # returns a power-of-two divisor of BLOCK_LANES, so the shard width
+    # (a multiple of unit = CHUNKS * BLOCK_LANES') stays tileable
+    return unit, halo, min(unit // kernels.CHUNKS, kernels._auto_block(m))
 
 
 @functools.partial(
@@ -599,14 +610,19 @@ def sharded_multi_scan(
         pssm_pad = np.zeros((m_b, k), np.float32)
         pssm_pad[:m_i] = np.asarray(pssms[i].data, np.float32)
         unit, halo, block_lanes = _halo_unit(m_b, pad_unit)
-        block_lanes = min(block_lanes, kernels._auto_block(m_b))
-        geom = (unit, halo)
+        # chunk (shard ownership) must come from the TRUE motif length:
+        # sizing it from the bucketed m_b loses the last m_b - m_i
+        # window starts whenever the rounding slack is smaller, and two
+        # buckets can share a halo, so the cache key includes chunk
+        chunk = _chunk_for(n_i, n_dev, unit)
+        geom = (unit, halo, chunk)
         if geom not in dense_shards:
-            shards, chunk, _ = shard_sequence(
-                encoded, n_dev, m_b, wildcard, pad_multiple=unit,
+            shards0, chunk0, _ = shard_sequence(
+                encoded, n_dev, m_i, wildcard, pad_multiple=unit,
                 halo=halo)
-            dense_shards[geom] = (_put_sharded(shards, mesh), chunk)
-        shards_dev, chunk = dense_shards[geom]
+            assert chunk0 == chunk
+            dense_shards[geom] = _put_sharded(shards0, mesh)
+        shards_dev = dense_shards[geom]
         g_cap, dense = cap, False
         while True:
             counts, packed = _sharded_dense_impl(

@@ -150,6 +150,66 @@ def test_sharded_multi_scan_matches_single(genome_mesh=None):
     assert a == b
 
 
+def test_halo_unit_clamps_block_for_long_motifs():
+    """Regression: the shard-body kernel block must shrink with motif
+    length exactly like the single-chip default (score_f32's
+    _auto_block) -- the production TPU geometry (65536 lanes) overflows
+    the kernel's scoped-VMEM budget past m~64."""
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel.mesh import _halo_unit
+
+    # the production TPU unit (preferred_pad() there), explicit so the
+    # test checks the same arithmetic on the CPU suite
+    unit, _, bl = _halo_unit(65, kernels.PAD_LANES)
+    assert bl == min(unit // kernels.CHUNKS, kernels._auto_block(65))
+    assert bl < unit // kernels.CHUNKS  # the clamp actually engaged
+    # small interpret-mode units are never inflated by the clamp
+    assert _halo_unit(15, 64)[2] == 64 // kernels.CHUNKS
+
+
+def test_sharded_dense_owns_true_window_count(monkeypatch):
+    """Regression: the dense path's shard ownership (chunk) must come
+    from the TRUE motif length.  Sizing it from the 32-bucketed length
+    silently dropped the last ``m_b - m_i`` window starts whenever the
+    per-shard rounding slack was smaller (tightest on small meshes):
+    m_i=33 buckets to m_b=64, so a 127-symbol sequence has 95 true
+    window starts but only 64 bucket-derived ones."""
+    import numpy as np
+
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel import make_genome_mesh, sharded_multi_scan
+    from lightmotif_tpu.scanner import MultiScanner
+
+    monkeypatch.setattr(MultiScanner, "DENSE_M_LIMIT", 16)
+
+    rng = np.random.default_rng(5)
+    sites = ["".join("ACTG"[j] for j in rng.integers(0, 4, size=33))
+             for _ in range(5)]
+    cm = CountMatrix.from_sequences(
+        EncodedSequence.encode(s) for s in sites)
+    pssm = cm.to_freq(0.1).to_weight(None).to_scoring()
+
+    genome = rng.integers(0, 4, size=127, dtype=np.int8)
+    seq = EncodedSequence(genome.astype(np.uint8))
+    threshold = float(np.min(np.asarray(pssm.score_host(seq)))) - 1.0
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        mesh1 = make_genome_mesh(jax.devices()[:1])
+        hits = sharded_multi_scan(
+            [pssm], genome, [threshold], mesh=mesh1, pad_unit=64)
+        single = MultiScanner([pssm], seq, [threshold]).collect()
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    assert len(hits) == 127 - 33 + 1  # every true window start
+    a = [(h.motif, h.position, h.score) for h in hits]
+    b = [(h.motif, h.position, h.score) for h in single]
+    assert a == b
+
+
 def test_sharded_multi_scan_database_scale(monkeypatch):
     """Whole-database semantics on the mesh: the motif set splits into
     length-sorted groups (GROUP_MOTIFS monkeypatched small) and motifs
