@@ -1,4 +1,9 @@
-"""Fused Pallas multi-motif prefilter: device correctness + throughput."""
+"""Fused Pallas multi-motif prefilter: device correctness + throughput.
+
+HISTORICAL (round 1/2 measurement artifact): the ``prefilter_bits``
+kernel this script benches was superseded by ``prefilter_any`` and
+deleted in round 3 -- run against a round-2 checkout (see git history)
+to reproduce; kept as provenance for the RESULTS.md numbers."""
 import json
 import sys
 import time

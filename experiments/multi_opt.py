@@ -1,5 +1,9 @@
 """Round-2 sweep: fused multi-motif prefilter optimization.
 
+HISTORICAL (round-2 measurement artifact): variants v0/v2 bench the
+``prefilter_bits`` kernel deleted in round 3 -- run against a round-2
+checkout to reproduce; kept as provenance for RESULTS.md/DESIGN.md.
+
 VERDICT task 2: close 246 Gpm/s at M=1024 toward the ~960 MXU-side
 ceiling.  Cost model of the round-1 kernel per [2048, M] tile:
 

@@ -157,6 +157,57 @@ def stack_motifs(matrices, k: int):
     return out, lengths
 
 
+def pack_motif_group(ids, gm: int, m_bucket: int, dm_stack, pssm_stack,
+                     t_scaled, thresholds, k: int):
+    """Pack ONE length-sorted motif group for the fused two-pass scan.
+
+    Shared by the single-chip ``MultiScanner`` and the mesh
+    ``sharded_multi_scan`` so the padded-slot sentinels, bucket
+    slicing, and u16 fine-filter packing cannot drift apart.
+
+    ``ids``: database indices of the group's motifs; ``gm``: the padded
+    group size (every group of a multi-group scan pads to one fixed
+    shape so a single compiled program serves them all); ``m_bucket``:
+    the group's contraction-block bucket (>= its longest motif).
+    Padded motif slots never pass any stage: u8 threshold sentinel
+    ``1 << 20`` folds to the never-pass guard, f32 threshold ``+inf``,
+    u16 threshold past 65535 -> the -1024 hi guard.
+
+    Returns host arrays ``{filt, f_hi, f_lo, pssm, th, m_max, count}``.
+    """
+    from . import multi_kernel
+
+    mw = min(m_bucket, pssm_stack.shape[1])
+    dm_g = np.zeros((gm, m_bucket, dm_stack.shape[2]), np.float32)
+    dm_g[: len(ids), :mw] = dm_stack[ids][:, :mw]
+    ts_g = np.full(gm, 1 << 20, np.int64)
+    ts_g[: len(ids)] = t_scaled[ids]
+    th_g = np.full(gm, np.inf, np.float32)
+    th_g[: len(ids)] = thresholds[ids]
+    pssm_g = np.zeros((gm, m_bucket, pssm_stack.shape[2]), np.float32)
+    pssm_g[: len(ids), :mw] = pssm_stack[ids][:, :mw]
+    # u16 refined filters (fine_discretize): ~256x less quantization
+    # slack than u8 keeps false pairs out of extraction + rescore
+    d16, f16, off16 = fine_discretize(pssm_g)
+    t16 = fine_thresholds(th_g, f16, off16)
+    f_hi, f_lo = pack_filters_fine(d16, t16, k)
+    return {
+        "filt": multi_kernel.pack_filters_any(dm_g, ts_g, k),
+        "f_hi": f_hi,
+        "f_lo": f_lo,
+        "pssm": pssm_g,
+        "th": th_g,
+        "m_max": m_bucket,
+        "count": len(ids),
+    }
+
+
+def group_bucket(m_g: int, rpb: int, multi_group: bool) -> int:
+    """A group's motif-length bucket: whole contraction blocks when
+    several groups share one compiled program, exact otherwise."""
+    return (-(-m_g // rpb) * rpb) if multi_group else m_g
+
+
 def _windows_onehot(seq: jax.Array, m_max: int, k: int) -> jax.Array:
     """``X[p, j, k] = (seq[p+j] == k)`` as bf16, shape ``[Lp, m_max*K]``."""
     lp = seq.shape[0]

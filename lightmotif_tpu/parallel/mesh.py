@@ -524,41 +524,26 @@ def sharded_multi_scan(
         for s in gstarts:
             ids = short_idx[s:s + gsize]
             gm = gsize if multi_group else len(ids)
-            # pad every group to one fixed shape (and bucket m to whole
-            # contraction blocks) so one compiled program serves all
-            # groups; padded slots never pass (threshold > 255 ->
-            # NEG_GUARD, +inf f32 threshold, zero valid windows)
-            m_g = int(lengths_all[ids].max())
-            m_bucket = (-(-m_g // rpb) * rpb) if multi_group else m_g
-            mw = min(m_bucket, pssm_stack.shape[1])
-            # slice motif stacks to the group's own bucket width: the
-            # filter block count (and every window gather downstream)
-            # follows THIS group's longest motif, not the database's
-            dm_g = np.zeros((gm, m_bucket, dm_stack.shape[2]),
-                            np.float32)
-            dm_g[: len(ids), :mw] = dm_stack[ids][:, :mw]
-            ts_g = np.full(gm, 1 << 20, np.int64)
-            ts_g[: len(ids)] = t_scaled[ids]
-            th_g = np.full(gm, np.inf, np.float32)
-            th_g[: len(ids)] = thresholds[ids]
-            pssm_g = np.zeros((gm, m_bucket, pssm_stack.shape[2]),
-                              np.float32)
-            pssm_g[: len(ids), :mw] = pssm_stack[ids][:, :mw]
-            filt_g = multi_kernel.pack_filters_any(dm_g, ts_g, k)
-            # u16 refined phase-C test (see MultiScanner group packing)
-            d16, f16, off16 = multi.fine_discretize(pssm_g)
-            t16 = multi.fine_thresholds(th_g, f16, off16)
-            f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
-            m_pad = filt_g.shape[1]
+            # shared group packing (ops.multi.pack_motif_group): one
+            # fixed shape per multi-group scan, never-pass sentinels
+            # for padded slots, per-group bucket width, u16 filters --
+            # identical to MultiScanner's single-chip packing
+            g = multi.pack_motif_group(
+                ids, gm,
+                multi.group_bucket(int(lengths_all[ids].max()), rpb,
+                                   multi_group),
+                dm_stack, pssm_stack, t_scaled, thresholds, k)
+            m_bucket = g["m_max"]
+            m_pad = g["filt"].shape[1]
             nv_g = np.zeros((1, m_pad), np.int32)
             nv_g[0, : len(ids)] = np.maximum(
                 n - lengths_all[ids] + 1, 0)
             args = (
-                jnp.asarray(filt_g),
-                jnp.asarray(pssm_g),
-                jnp.asarray(th_g),
+                jnp.asarray(g["filt"]),
+                jnp.asarray(g["pssm"]),
+                jnp.asarray(g["th"]),
                 jnp.asarray(nv_g),
-                (jnp.asarray(f_hi), jnp.asarray(f_lo)),
+                (jnp.asarray(g["f_hi"]), jnp.asarray(g["f_lo"])),
             )
             g_cap, g_cap_hits, dense = cap, cap, False
             while True:

@@ -536,47 +536,27 @@ class MultiScanner:
                 for s in gstarts:
                     ids = short_idx[s:s + gsize]
                     gm = gsize if multi_group else len(ids)
-                    # pad every group to one fixed shape (and bucket
-                    # m_max to whole contraction blocks) so a single
-                    # compiled program serves all groups; padded motif
-                    # slots never pass (threshold > 255 -> NEG_GUARD,
-                    # +inf f32 threshold, zero valid window)
-                    m_g = int(self.lengths[ids].max())
-                    m_bucket = (-(-m_g // rpb) * rpb) if multi_group \
-                        else m_g
                     # every per-group stack is sliced to the group's
                     # own bucket width (>= every group motif, << the
                     # database maximum): the prefilter's block count,
                     # the phase-C window matmul, and the rescore row
                     # loop all pay only this group's length
-                    mw = min(m_bucket, self.pssm_stack.shape[1])
-                    dm_g = np.zeros(
-                        (gm, m_bucket, self.dm_stack.shape[2]),
-                        np.float32)
-                    dm_g[: len(ids), :mw] = self.dm_stack[ids][:, :mw]
-                    ts_g = np.full(gm, 1 << 20, np.int64)
-                    ts_g[: len(ids)] = self.t_scaled[ids]
-                    th_g = np.full(gm, np.inf, np.float32)
-                    th_g[: len(ids)] = self.thresholds[ids]
-                    pssm_g = np.zeros(
-                        (gm, m_bucket, self.pssm_stack.shape[2]),
-                        np.float32)
-                    pssm_g[: len(ids), :mw] = self.pssm_stack[ids][:, :mw]
-                    # u16 refined phase-C test (multi.fine_discretize):
-                    # ~256x less quantization slack keeps false pairs
-                    # out of the extraction + rescore stages
-                    d16, f16, off16 = multi.fine_discretize(pssm_g)
-                    t16 = multi.fine_thresholds(th_g, f16, off16)
-                    f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
+                    g = multi.pack_motif_group(
+                        ids, gm,
+                        multi.group_bucket(
+                            int(self.lengths[ids].max()), rpb,
+                            multi_group),
+                        self.dm_stack, self.pssm_stack, self.t_scaled,
+                        self.thresholds, k)
                     dev["groups"].append({
                         "ids": ids,
-                        "count": len(ids),
-                        "m_max": m_bucket,
-                        "filt": jnp.asarray(
-                            multi_kernel.pack_filters_any(dm_g, ts_g, k)),
-                        "filt16": (jnp.asarray(f_hi), jnp.asarray(f_lo)),
-                        "pssm": jnp.asarray(pssm_g),
-                        "th": jnp.asarray(th_g),
+                        "count": g["count"],
+                        "m_max": g["m_max"],
+                        "filt": jnp.asarray(g["filt"]),
+                        "filt16": (jnp.asarray(g["f_hi"]),
+                                   jnp.asarray(g["f_lo"])),
+                        "pssm": jnp.asarray(g["pssm"]),
+                        "th": jnp.asarray(g["th"]),
                     })
             dev["dm"] = jnp.asarray(self.dm_stack)
             dev["pssm"] = jnp.asarray(self.pssm_stack)
