@@ -148,7 +148,46 @@ def secondary_metrics(pssm, seq, genome_len):
     return out
 
 
+def wait_for_chip(max_wait_s: float = 1500, probe_timeout_s: float = 150):
+    """Bounded wait for the tunneled TPU to answer a trivial dispatch.
+
+    The axon tunnel intermittently wedges for tens of minutes (observed
+    repeatedly); an in-process hung dispatch cannot be cancelled, so the
+    probe runs in a subprocess with a timeout and retries until the chip
+    answers or ``max_wait_s`` elapses.  Returns True when the chip is up.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 128)); "
+            "(x @ x.T).sum().block_until_ready()")
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            return False
+        time.sleep(30)
+
+
 def main() -> None:
+    if not wait_for_chip():
+        # one parseable line instead of an indefinite hang: the driver
+        # records the failure rather than timing out with nothing
+        print(json.dumps({
+            "metric": "full-genome exact f32 scoring",
+            "value": None,
+            "unit": "Gpos/s",
+            "vs_baseline": None,
+            "error": "TPU tunnel unreachable for 25 min (wedged)",
+        }))
+        raise SystemExit(1)
+
     import jax
     import jax.numpy as jnp
 
