@@ -47,6 +47,8 @@ __all__ = [
     "fine_discretize",
     "fine_thresholds",
     "pack_filters_fine",
+    "pack_motif_group",
+    "group_bucket",
 ]
 
 
@@ -91,17 +93,28 @@ def fine_discretize(pssm_stack):
 
 def fine_thresholds(thresholds, factor, offset):
     """f32 thresholds -> u16 thresholds (floored, like
-    ``DiscreteMatrix.scale``).  ``> 65535`` (including ``+inf`` padded
-    slots) becomes the never-pass sentinel 65536 that
+    ``DiscreteMatrix.scale``).
+
+    FINITE thresholds clamp into the passable range [0, 65535] -- a
+    hand-built ``ScoringMatrix`` may put wildcard cells above its row
+    body max (``max_score`` sums body columns only, like the
+    reference's), so true window scores can exceed ``max_score`` and a
+    finite above-range threshold must stay reachable: any window
+    scoring past the body max has ``sum16 >= 65535`` (its unclipped
+    ceil-sum exceeds 65534, and a clipped cell alone contributes
+    65535), mirroring the u8 path's saturate-at-255 semantics
+    (``pwm/mod.rs:782-784``).  Only non-finite thresholds map to the
+    never-pass sentinel 65536 (``+inf`` padded slots / NaN) that
     :func:`pack_filters_fine` folds to a guard; ``-inf`` / below-range
-    clamps to 0 (every window passes the refined test, exactly as it
-    should)."""
+    clamps to 0 (every window passes, exactly as it should)."""
     t = np.asarray(thresholds, np.float64)
     with np.errstate(invalid="ignore"):
         t16 = np.floor((t - offset) / factor)
-    t16 = np.where(np.isnan(t16), 65536.0, t16)
-    t16 = np.where(t16 > 65535.0, 65536.0, np.maximum(t16, 0.0))
-    return t16.astype(np.int64)
+    return np.where(
+        np.isfinite(t),
+        np.minimum(np.maximum(t16, 0.0), 65535.0),
+        np.where(t < 0, 0.0, 65536.0),
+    ).astype(np.int64)
 
 
 def pack_filters_fine(data16, t16, k: int):
@@ -157,8 +170,8 @@ def stack_motifs(matrices, k: int):
     return out, lengths
 
 
-def pack_motif_group(ids, gm: int, m_bucket: int, dm_stack, pssm_stack,
-                     t_scaled, thresholds, k: int):
+def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
+                     thresholds, k: int):
     """Pack ONE length-sorted motif group for the fused two-pass scan.
 
     Shared by the single-chip ``MultiScanner`` and the mesh
@@ -169,30 +182,24 @@ def pack_motif_group(ids, gm: int, m_bucket: int, dm_stack, pssm_stack,
     group size (every group of a multi-group scan pads to one fixed
     shape so a single compiled program serves them all); ``m_bucket``:
     the group's contraction-block bucket (>= its longest motif).
-    Padded motif slots never pass any stage: u8 threshold sentinel
-    ``1 << 20`` folds to the never-pass guard, f32 threshold ``+inf``,
-    u16 threshold past 65535 -> the -1024 hi guard.
+    Padded motif slots never pass any stage: f32 threshold ``+inf``,
+    u16 threshold 65536 -> the -1024 hi guard, zero valid windows.
 
-    Returns host arrays ``{filt, f_hi, f_lo, pssm, th, m_max, count}``.
+    Both fused passes run at u16 resolution (``fine_discretize``:
+    ~256x less quantization slack than u8 keeps false pairs out of
+    extraction + rescore), so groups carry no u8 filters at all.
+
+    Returns host arrays ``{f_hi, f_lo, pssm, th, m_max, count}``.
     """
-    from . import multi_kernel
-
     mw = min(m_bucket, pssm_stack.shape[1])
-    dm_g = np.zeros((gm, m_bucket, dm_stack.shape[2]), np.float32)
-    dm_g[: len(ids), :mw] = dm_stack[ids][:, :mw]
-    ts_g = np.full(gm, 1 << 20, np.int64)
-    ts_g[: len(ids)] = t_scaled[ids]
     th_g = np.full(gm, np.inf, np.float32)
     th_g[: len(ids)] = thresholds[ids]
     pssm_g = np.zeros((gm, m_bucket, pssm_stack.shape[2]), np.float32)
     pssm_g[: len(ids), :mw] = pssm_stack[ids][:, :mw]
-    # u16 refined filters (fine_discretize): ~256x less quantization
-    # slack than u8 keeps false pairs out of extraction + rescore
     d16, f16, off16 = fine_discretize(pssm_g)
     t16 = fine_thresholds(th_g, f16, off16)
     f_hi, f_lo = pack_filters_fine(d16, t16, k)
     return {
-        "filt": multi_kernel.pack_filters_any(dm_g, ts_g, k),
         "f_hi": f_hi,
         "f_lo": f_lo,
         "pssm": pssm_g,
@@ -330,8 +337,10 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     """Fused multi-motif scan body on an in-register chunk (shared by
     the single-chip segment loop and the mesh shard path).
 
-    ``filters_t``: threshold-folded filters
-    (:func:`.multi_kernel.pack_filters_any`).  Stage 1 computes one
+    ``filters_t``: threshold-folded u8 filters
+    (:func:`.multi_kernel.pack_filters_any`), or ``None`` when
+    ``filters_fine`` drives both stages (the production path: the u8
+    filters would be dead weight).  Stage 1 computes one
     ``max_mo(score - t)`` int32 per position on the MXU; stage 2
     recovers per-motif hit words for the compacted candidate positions
     with a sparse ``[cap, blocks*128]`` one-hot matmul against the same
@@ -361,21 +370,24 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
 
     chunk_len = chunk.shape[0]
     mcount = pssms.shape[0]
-    m_pad = filters_t.shape[1]
+    shape_src = filters_fine[0] if filters_fine is not None else filters_t
+    m_pad = shape_src.shape[1]
     lanes = multi_kernel._lanes_for(k)
     rpb = multi_kernel.MAX_MK // lanes
-    n_blocks = filters_t.shape[0] // multi_kernel.MAX_MK
+    n_blocks = shape_src.shape[0] // multi_kernel.MAX_MK
     bpw = multi_kernel.BITS_PER_WORD
     n_words = m_pad // bpw
-    if (cap_hits or cap) * n_words >= 2**31:
-        # the word-mask compaction flattens [cap_hits, n_words]; int32
-        # indexing (jnp.nonzero) caps that product.  Reaching this
-        # needs a hit ratchet in the millions on a huge motif set --
-        # raise actionably instead of overflowing inside jax.
+    ch = cap_hits or cap
+    if min(cap, ch) * n_words >= 2**31 or ch * bpw >= 2**31:
+        # the staged extraction flattens [min(cap, cap_hits), n_words]
+        # (level 1) and [cap_hits, BITS_PER_WORD] (level 2); int32
+        # indexing (jnp.nonzero) caps both products.  Reaching this
+        # needs a hit ratchet in the hundred millions -- raise
+        # actionably instead of overflowing inside jax.
         raise OverflowError(
-            f"hit capacity {cap_hits or cap} x {n_words} words exceeds "
-            "int32 indexing; lower the thresholds or scan fewer "
-            "motifs per pass")
+            f"hit capacity {ch} (x {n_words} words / x {bpw} bits) "
+            "exceeds int32 indexing; lower the thresholds or scan "
+            "fewer motifs per pass")
 
     if filters_fine is not None:
         # u16 prefilter: ~256x tighter than u8, so the ANY-candidate
@@ -395,12 +407,14 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     for mo in range(m_pad):
         powers[mo, mo // bpw] = float(1 << (mo % bpw))
     pow_dev = jnp.asarray(powers, jnp.bfloat16)
-    filt_bf = filters_t.astype(jnp.bfloat16)
     if filters_fine is not None:
         fine_hi = filters_fine[0].astype(jnp.bfloat16)
         fine_lo = filters_fine[1].astype(jnp.bfloat16)
-        assert fine_hi.shape == filters_t.shape, (
-            fine_hi.shape, filters_t.shape)
+        if filters_t is not None:
+            assert fine_hi.shape == filters_t.shape, (
+                fine_hi.shape, filters_t.shape)
+    else:
+        filt_bf = filters_t.astype(jnp.bfloat16)
 
     def phase_c(pos_blk):
         """Per-motif hit words for one block of candidate positions.
@@ -498,7 +512,6 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     wword = wsafe % n_words
 
     # level 2: set bits of the surviving words
-    bpw = multi_kernel.BITS_PER_WORD
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, bpw), 1)
     bools = ((wvals[:, None] >> lane16) & 1) != 0  # [cap_hits, 16]
     flat = bools.reshape(-1)

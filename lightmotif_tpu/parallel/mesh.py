@@ -493,16 +493,10 @@ def sharded_multi_scan(
     hits = []
 
     if gstarts:
-        dms = {int(i): pssms[int(i)].to_discrete() for i in short_idx}
-        t_scaled = np.zeros(mcount, np.int64)
-        for i, d in dms.items():
-            t_scaled[i] = d.scale(float(thresholds[i]))
+        # both fused passes run at u16 resolution (pack_motif_group),
+        # so no u8 discretization is needed on this path at all
         pssm_stack, lengths = multi.stack_motifs(
             [np.asarray(p.data, np.float32) for p in pssms], k)
-        dm_stack = np.zeros_like(pssm_stack)
-        for i, d in dms.items():
-            m_i = int(lengths_all[i])
-            dm_stack[i, :m_i] = d.data.astype(np.float32)
 
         # shard widths must tile the fused kernel geometry; the halo
         # (one unit) covers every fused motif (m <= the block limit)
@@ -532,14 +526,14 @@ def sharded_multi_scan(
                 ids, gm,
                 multi.group_bucket(int(lengths_all[ids].max()), rpb,
                                    multi_group),
-                dm_stack, pssm_stack, t_scaled, thresholds, k)
+                pssm_stack, thresholds, k)
             m_bucket = g["m_max"]
-            m_pad = g["filt"].shape[1]
+            m_pad = g["f_hi"].shape[1]
             nv_g = np.zeros((1, m_pad), np.int32)
             nv_g[0, : len(ids)] = np.maximum(
                 n - lengths_all[ids] + 1, 0)
             args = (
-                jnp.asarray(g["filt"]),
+                None,
                 jnp.asarray(g["pssm"]),
                 jnp.asarray(g["th"]),
                 jnp.asarray(nv_g),

@@ -546,13 +546,11 @@ class MultiScanner:
                         multi.group_bucket(
                             int(self.lengths[ids].max()), rpb,
                             multi_group),
-                        self.dm_stack, self.pssm_stack, self.t_scaled,
-                        self.thresholds, k)
+                        self.pssm_stack, self.thresholds, k)
                     dev["groups"].append({
                         "ids": ids,
                         "count": g["count"],
                         "m_max": g["m_max"],
-                        "filt": jnp.asarray(g["filt"]),
                         "filt16": (jnp.asarray(g["f_hi"]),
                                    jnp.asarray(g["f_lo"])),
                         "pssm": jnp.asarray(g["pssm"]),
@@ -573,11 +571,11 @@ class MultiScanner:
         def run_one(off, n_here, cap, cap_hits, dense, group):
             if group is not None:
                 n_here2d = np.zeros(
-                    (1, group["filt"].shape[1]), np.int32)
+                    (1, group["filt16"][0].shape[1]), np.int32)
                 n_here2d[0, : group["count"]] = n_here[group["ids"]]
                 return multi.scan_multi_segment_fused(
                     data, np.int32(off), jnp.asarray(n_here2d),
-                    group["filt"], group["pssm"], group["th"],
+                    None, group["pssm"], group["th"],
                     chunk_len, cap, group["m_max"], k, dense,
                     cap_hits, group["filt16"])
             return multi.scan_multi_segment(

@@ -577,7 +577,12 @@ def test_fine_filters_exact_and_sound():
                           np.float64)
     t16 = multi.fine_thresholds(thresholds, f16, off16)
     assert t16[3] == 0            # -inf -> all-pass
-    assert t16[4] == 65536        # above range -> never-pass sentinel
+    # FINITE above-range thresholds stay reachable (wildcard cells may
+    # exceed the body-only max_score; saturated window sums hit 65535);
+    # only non-finite sentinels never pass
+    assert t16[4] == 65535
+    assert multi.fine_thresholds(
+        np.array([np.inf]), f16[:1], off16[:1])[0] == 65536
     f_hi, f_lo = multi.pack_filters_fine(d16, t16, k)
 
     # emulate phase_c's matmul on random windows and check exactness +
@@ -691,3 +696,49 @@ def test_batch_dispatch_fetch_pipelined():
     for got, exp in ((got1, exp1), (got2, exp2)):
         for a, b in zip(got, exp):
             np.testing.assert_array_equal(a, b)
+
+
+def test_fused_u16_wildcard_above_body_max_soundness():
+    """Regression: a hand-built ScoringMatrix may put wildcard cells
+    above its row body max, so true window scores can exceed the
+    body-only ``max_score``.  A finite threshold past the u16 range
+    must stay REACHABLE (clamp to 65535, the u8 path's saturate-at-255
+    analogue) -- it used to map to the never-pass sentinel and the
+    fused scan silently missed hits the exact rescore would keep."""
+    from lightmotif_tpu.alphabet import DNA
+    from lightmotif_tpu.matrix import ScoringMatrix
+    from lightmotif_tpu.ops import kernels, multi
+
+    pssm = ScoringMatrix(DNA, np.asarray([
+        [2.0, -3.0, -3.0, -3.0, 0.0],
+        [-1.0, -1.0, -1.0, -1.0, 0.0],
+    ], np.float32))
+    assert pssm.max_score() == 1.0  # body-only, like the reference
+
+    # threshold above the body-only max: only wildcard windows reach it
+    threshold = 1.5
+    d16, f16, off16 = multi.fine_discretize(
+        np.asarray(pssm.data, np.float32)[None])
+    t16 = multi.fine_thresholds(np.asarray([threshold]), f16, off16)
+    assert t16[0] == 65535  # reachable, not the never-pass 65536
+    assert multi.fine_thresholds(np.asarray([np.inf]), f16, off16)[0] \
+        == 65536  # padded slots stay never-pass
+    assert multi.fine_thresholds(np.asarray([-np.inf]), f16, off16)[0] \
+        == 0
+
+    seq = EncodedSequence.encode("ACGTANCCGT")  # 'AN' at position 4
+    want = sorted(
+        (h.position, h.score)
+        for h in Scanner(pssm, seq, threshold=threshold))
+    assert want, "oracle found no wildcard hit; test setup is wrong"
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        got = sorted(
+            (h.position, h.score)
+            for h in MultiScanner([pssm], seq, [threshold]).collect())
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    assert got == want
