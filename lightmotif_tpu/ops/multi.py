@@ -133,20 +133,11 @@ def pack_filters_fine(data16, t16, k: int):
     """
     from . import multi_kernel
 
-    mcount, m_max, _ = data16.shape
+    mcount = data16.shape[0]
     lanes = multi_kernel._lanes_for(k)
-    rpb = multi_kernel.MAX_MK // lanes
-    bpw = multi_kernel.BITS_PER_WORD
-    m_pad = -(-mcount // bpw) * bpw
-    n_blocks = -(-m_max // rpb)
-    hi = np.zeros((n_blocks * multi_kernel.MAX_MK, m_pad), np.float32)
-    lo = np.zeros_like(hi)
-    d_hi = (data16 >> 8).astype(np.float32)
-    d_lo = (data16 & 255).astype(np.float32)
-    for j in range(m_max):
-        r = (j // rpb) * multi_kernel.MAX_MK + (j % rpb) * lanes
-        hi[r:r + k, :mcount] = d_hi[:, j, :].T
-        lo[r:r + k, :mcount] = d_lo[:, j, :].T
+    # one layout rule for every packer: multi_kernel.pack_slots
+    hi = multi_kernel.pack_slots((data16 >> 8).astype(np.float32), k)
+    lo = multi_kernel.pack_slots((data16 & 255).astype(np.float32), k)
     t16 = np.asarray(t16, np.int64)
     never = t16 > 65535
     tc = np.clip(t16, 0, 65535)

@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["prefilter_any", "prefilter_any16", "pack_filters_any",
-           "supports_fused", "BITS_PER_WORD", "TILE", "NEG_GUARD"]
+           "pack_slots", "supports_fused", "BITS_PER_WORD", "TILE",
+           "NEG_GUARD"]
 
 #: Motifs per packed output word (halfword packing keeps the bit-pack
 #: matmul exact in f32).
@@ -99,19 +100,33 @@ def pack_filters(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
     thresholds above the u8 range map to ``+inf`` (saturating
     semantics, ``pwm/mod.rs:781-784``).
     """
-    mcount, m_max, _ = dm_stack.shape
+    mcount = dm_stack.shape[0]
+    filters = pack_slots(dm_stack, k)
+    t_eff = np.full((1, filters.shape[1]), np.inf, np.float32)
+    t_eff[0, :mcount] = np.where(
+        np.asarray(t_scaled) > 255, np.inf, t_scaled).astype(np.float32)
+    return filters, t_eff
+
+
+def pack_slots(stack: np.ndarray, k: int) -> np.ndarray:
+    """The ``[(j, s) slot, motif]`` filter layout every packer (and the
+    kernels' window construction) shares: row ``(j // rpb) * MAX_MK +
+    (j % rpb) * lanes + s``, motifs zero-padded to whole
+    ``BITS_PER_WORD`` words on the lane axis.  ONE source of truth --
+    the u8 and u16 filters desync silently if this rule forks.
+
+    ``stack``: ``[M, m_max, K]`` per-motif per-row cell values (any
+    float-convertible dtype)."""
+    mcount, m_max, _ = stack.shape
     lanes = _lanes_for(k)
     rpb = MAX_MK // lanes
     m_pad = -(-mcount // BITS_PER_WORD) * BITS_PER_WORD
     n_blocks = -(-m_max // rpb)
-    filters = np.zeros((n_blocks * MAX_MK, m_pad), np.float32)
+    out = np.zeros((n_blocks * MAX_MK, m_pad), np.float32)
     for j in range(m_max):
         r = (j // rpb) * MAX_MK + (j % rpb) * lanes
-        filters[r:r + k, :mcount] = dm_stack[:, j, :].T
-    t_eff = np.full((1, m_pad), np.inf, np.float32)
-    t_eff[0, :mcount] = np.where(
-        np.asarray(t_scaled) > 255, np.inf, t_scaled).astype(np.float32)
-    return filters, t_eff
+        out[r:r + k, :mcount] = stack[:, j, :].T
+    return out
 
 
 def pack_filters_any(dm_stack: np.ndarray, t_scaled: np.ndarray, k: int):
