@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "for multi-chip)")
     parser.add_argument("--block-size", type=int, default=None,
                         help="positions per device dispatch")
+    parser.add_argument("--compile-cache", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="persist compiled device programs on disk so "
+                        "repeat runs skip XLA compilation (see also "
+                        "LIGHTMOTIF_TPU_COMPILE_CACHE)")
     parser.add_argument("--flight-bytes", type=int,
                         default=DEFAULT_FLIGHT_BYTES,
                         help="encoded bytes batched per device pass when "
@@ -176,6 +181,10 @@ def _scan_all(motifs, seq, args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.compile_cache:
+        from .utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
     alphabet = PROTEIN if args.protein else DNA
 
     motifs = prepare_motifs(args)
