@@ -645,26 +645,35 @@ def bench_clistream(ctx):
     cmd = [sys.executable, "-m", "lightmotif_tpu.cli", "-m", mot,
            "--format", "jaspar16", "-s", fa, "-o", out, "-q",
            "--abs-threshold", "8"]
+    # cold run = fresh compile cache (reproducible, no stale entries);
+    # warm run = the steady-use cost, comparable to the reference's
+    # AOT-compiled binary which never pays a JIT.
     env = dict(os.environ)
-    t0 = time.perf_counter()
-    proc = subprocess.run(cmd, env=env, stderr=subprocess.PIPE, text=True)
-    wall = time.perf_counter() - t0
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    timing = {}
-    for line in proc.stderr.splitlines():
-        if '"event": "cli_timing"' in line:
-            timing = json.loads(line)
+    env["LIGHTMOTIF_TPU_COMPILE_CACHE"] = os.path.join(d, "xla-cache")
+    timing, walls, n_hits = {}, [], 0
+    for run in ("cold", "warm"):
+        t0 = time.perf_counter()
+        proc = subprocess.run(cmd, env=env, stderr=subprocess.PIPE, text=True)
+        walls.append(time.perf_counter() - t0)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        timing[run] = {}
+        for line in proc.stderr.splitlines():
+            if '"event": "cli_timing"' in line:
+                timing[run] = json.loads(line)
+        with open(out) as fh:
+            n = sum(1 for _ in fh) - 1
+        assert run == "cold" or n == n_hits, (n, n_hits)
+        n_hits = n
     rss_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
-    with open(out) as fh:
-        n_hits = sum(1 for _ in fh) - 1
-    steady = timing.get("steady_mbp_s")
+    steady = timing["cold"].get("steady_mbp_s")
     record("clistream", f"CLI: {n_rec} records x {rec_len} bp (~35 MB)",
-           steady if steady is not None else round(wall, 1),
+           steady if steady is not None else round(walls[0], 1),
            "Mbp/s steady" if steady is not None else "s",
-           f"{n_hits} hits; wall {wall:.1f} s total = startup+compile "
-           f"{timing.get('startup_s', '?')} s + steady "
-           f"{timing.get('steady_s', '?')} s; child peak RSS "
-           f"{rss_mb:.0f} MB")
+           f"{n_hits} hits; cold wall {walls[0]:.1f} s = startup+compile "
+           f"{timing['cold'].get('startup_s', '?')} s + steady "
+           f"{timing['cold'].get('steady_s', '?')} s; warm wall "
+           f"{walls[1]:.1f} s (startup {timing['warm'].get('startup_s', '?')}"
+           f" s, compile cache); child peak RSS {rss_mb:.0f} MB")
 
 
 def bench_clifull(ctx):
@@ -692,25 +701,34 @@ def bench_clifull(ctx):
     cmd = [sys.executable, "-m", "lightmotif_tpu.cli", "-m", JASPAR2024,
            "--format", "meme", "-s", fa, "-o", out, "-q",
            "-P", "1e-6", "--reverse"]
-    t0 = time.perf_counter()
-    proc = subprocess.run(cmd, stderr=subprocess.PIPE, text=True)
-    wall = time.perf_counter() - t0
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    with open(out) as fh:
-        next(fh)
-        n_hits = 0
-        strands = {"+": 0, "-": 0}
-        for line in fh:
-            n_hits += 1
-            strands[line.split("\t")[5]] += 1
+    # cold = fresh compile cache; warm = repeat run, all device programs
+    # served from disk -- the honest comparison with the reference's
+    # AOT-compiled binary (main.rs pays zero JIT on every run).
+    env = dict(os.environ)
+    env["LIGHTMOTIF_TPU_COMPILE_CACHE"] = os.path.join(d, "xla-cache")
+    walls, counts = [], []
+    for run in ("cold", "warm"):
+        t0 = time.perf_counter()
+        proc = subprocess.run(cmd, env=env, stderr=subprocess.PIPE, text=True)
+        walls.append(time.perf_counter() - t0)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        with open(out) as fh:
+            next(fh)
+            n_hits = 0
+            strands = {"+": 0, "-": 0}
+            for line in fh:
+                n_hits += 1
+                strands[line.split("\t")[5]] += 1
+        counts.append(n_hits)
+    assert counts[0] == counts[1], counts
     record("clifull",
            "CLI: all 2346 JASPAR2024 motifs x 2 strands x E. coli "
-           "(total wall incl. jax+compile+motif prep)",
-           round(wall, 1), "s",
+           "(warm wall: compiled programs from disk cache)",
+           round(walls[1], 1), "s",
            f"{n_hits} hits (+:{strands['+']} -:{strands['-']}) == the "
            "library jasparfull scan's 71730 at the same thresholds; "
-           "single-record file, so wall includes one-time startup "
-           "(~60-90 s) and host motif prep (~20 s)")
+           f"cold wall {walls[0]:.1f} s (first-ever run: XLA compiles + "
+           "host motif prep ~20 s); warm is the every-later-run cost")
 
 
 WORKLOADS = {
