@@ -201,15 +201,18 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     n_hits = 0
 
+    def hit_row(seq_index, name, job, pos, strand, score, pv):
+        # the ONE row format: both the batched-flight and the
+        # solo/mesh paths emit through here, so they cannot drift
+        return (f"{seq_index}\t{name}\t{job.index + 1}\t{job.name}\t"
+                f"{pos}\t{strand}\t{np.float32(score)}\t{pv:e}\n")
+
     def write_hits(si, name, rows):
         nonlocal n_hits
         for job, strand, hit in rows:
             pv = job.dist.pvalue(hit.score)
-            out.write(
-                f"{si + 1}\t{name}\t{job.index + 1}\t"
-                f"{job.name}\t{hit.position}\t{strand}\t"
-                f"{np.float32(hit.score)}\t{pv:e}\n"
-            )
+            out.write(hit_row(si + 1, name, job, hit.position, strand,
+                              hit.score, pv))
             n_hits += 1
         if not args.quiet:
             print(
@@ -263,10 +266,8 @@ def main(argv=None) -> int:
                 lines = []
                 for i in order[bounds[ri]:bounds[ri + 1]]:
                     job, strand, _ = strands[mo[i]]
-                    lines.append(
-                        f"{si + 1}\t{record.name}\t{job.index + 1}\t"
-                        f"{job.name}\t{local[i]}\t{strand}\t"
-                        f"{sc[i]}\t{pv[i]:e}\n")
+                    lines.append(hit_row(si + 1, record.name, job,
+                                         local[i], strand, sc[i], pv[i]))
                 out.writelines(lines)
                 n_hits += len(lines)
                 si += 1

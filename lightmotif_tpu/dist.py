@@ -138,11 +138,18 @@ class ScoreDistribution:
         """Vectorized :meth:`pvalue` over an array of scores (used by
         the CLI to annotate whole hit batches without a Python loop).
         Matches the scalar path exactly: ``round`` here and in
-        :meth:`scale` both round half to even."""
+        :meth:`scale` both round half to even, and non-finite scores
+        raise the same exceptions the scalar ``int(round(x))`` does
+        (casting inf/nan through ``astype(int64)`` would otherwise
+        silently yield an arbitrary clamped p-value)."""
+        scores64 = np.asarray(scores, np.float64)
+        if not np.isfinite(scores64).all():
+            if np.isnan(scores64).any():
+                raise ValueError("cannot compute the p-value of NaN")
+            raise OverflowError("cannot compute the p-value of infinity")
         w = self.data.shape[0]
         scaled = np.round(
-            (np.asarray(scores, np.float64) - w * self.offset_)
-            * self.scale_
+            (scores64 - w * self.offset_) * self.scale_
         ).astype(np.int64)
         out = np.ones(scaled.shape, np.float64)
         out[scaled >= len(self.sf_)] = 0.0

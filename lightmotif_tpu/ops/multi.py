@@ -206,6 +206,29 @@ def group_bucket(m_g: int, rpb: int, multi_group: bool) -> int:
     return (-(-m_g // rpb) * rpb) if multi_group else m_g
 
 
+#: Dense-path motif lengths round up to this many PSSM rows, so a whole
+#: database compiles at most one dense program per bucket.
+DENSE_BUCKET = 32
+
+
+def pack_dense_motif(pssm_data, k: int):
+    """Pad a long motif's PSSM to the dense-path length bucket.
+
+    Returns ``(pssm_pad [m_b, k] f32, m_b)`` with ``m_b`` the next
+    :data:`DENSE_BUCKET` multiple.  Appended zero rows add 0.0 to every
+    window EXACTLY (any symbol looks up 0), so scores over the padded
+    matrix bit-match the true-length ones -- the single-chip and mesh
+    dense paths share this rule so their exact-hit behavior cannot
+    drift apart.
+    """
+    data = np.asarray(pssm_data, np.float32)
+    m_i = data.shape[0]
+    m_b = -(-m_i // DENSE_BUCKET) * DENSE_BUCKET
+    pssm_pad = np.zeros((m_b, k), np.float32)
+    pssm_pad[:m_i] = data
+    return pssm_pad, m_b
+
+
 def _windows_onehot(seq: jax.Array, m_max: int, k: int) -> jax.Array:
     """``X[p, j, k] = (seq[p+j] == k)`` as bf16, shape ``[Lp, m_max*K]``."""
     lp = seq.shape[0]

@@ -383,17 +383,23 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "n_scores", "cap", "mesh_holder", "dense",
+    static_argnames=("chunk", "cap", "mesh_holder", "dense",
                      "block_lanes"),
 )
 def _sharded_dense_impl(shards, pssm, threshold, chunk, n_scores, cap,
                         mesh_holder, dense=False, block_lanes=None):
     """One-pass exact f32 scan of a single (long) motif per shard:
     the mesh counterpart of ``scanner._dense_motif_scan_fn`` (full
-    Pallas f32 scoring + threshold compaction, no u8 prefilter)."""
+    Pallas f32 scoring + threshold compaction, no u8 prefilter).
+
+    ``n_scores`` (the global valid-window count) is TRACED: every
+    motif length sharing a (chunk, block_lanes) geometry -- i.e. the
+    whole 32-row length bucket -- runs one compiled program; the
+    kernel's own static mask boundary is the shard-stable ``chunk``.
+    """
     mesh = mesh_holder.mesh
 
-    def local(shard, pssm, threshold):
+    def local(shard, pssm, threshold, n_scores):
         d = jax.lax.axis_index("genome")
         seq = shard[0]
         n_local = jnp.clip(n_scores - d * chunk, 0, chunk)
@@ -416,10 +422,10 @@ def _sharded_dense_impl(shards, pssm, threshold, chunk, n_scores, cap,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("genome"), P(), P()),
+        in_specs=(P("genome"), P(), P(), P()),
         out_specs=(P(), P("genome")),
         check_vma=False,
-    )(shards, pssm, threshold)
+    )(shards, pssm, threshold, n_scores)
 
 
 def sharded_multi_scan(
@@ -575,9 +581,10 @@ def sharded_multi_scan(
                         hits.append(MultiHit(int(mo), int(p), float(sb)))
 
     # dense path: exact f32 scoring + compaction per shard for motifs
-    # the prefilter cannot serve; motif lengths bucket to multiples of
-    # 32 (appended zero rows add 0.0 to every window exactly) so a
-    # whole database compiles at most a few dense programs
+    # the prefilter cannot serve; motif lengths bucket
+    # (ops.multi.pack_dense_motif, shared with the single-chip dense
+    # path) so a whole database compiles at most one dense program per
+    # bucket -- n_i is a traced arg of _sharded_dense_impl
     dense_shards = {}
     for i in dense_idx:
         i = int(i)
@@ -585,9 +592,7 @@ def sharded_multi_scan(
         n_i = max(n - m_i + 1, 0)
         if n_i == 0:
             continue
-        m_b = -(-m_i // 32) * 32
-        pssm_pad = np.zeros((m_b, k), np.float32)
-        pssm_pad[:m_i] = np.asarray(pssms[i].data, np.float32)
+        pssm_pad, m_b = multi.pack_dense_motif(pssms[i].data, k)
         unit, halo, block_lanes = _halo_unit(m_b, pad_unit)
         # chunk (shard ownership) must come from the TRUE motif length:
         # sizing it from the bucketed m_b loses the last m_b - m_i
@@ -606,8 +611,8 @@ def sharded_multi_scan(
         while True:
             counts, packed = _sharded_dense_impl(
                 shards_dev, jnp.asarray(pssm_pad),
-                jnp.float32(thresholds[i]), chunk, n_i, g_cap,
-                holder, dense, block_lanes)
+                jnp.float32(thresholds[i]), chunk, jnp.int32(n_i),
+                g_cap, holder, dense, block_lanes)
             head_h = None
             if jax.process_count() == 1:
                 head = packed[:, :, : min(g_cap, _HEAD_SLOTS)]

@@ -80,13 +80,21 @@ def _dense_motif_scan_fn():
 
     from .ops import kernels
 
-    def fn(data, pssm, threshold, n_scores: int, cap: int, dense: bool):
+    def fn(data, pssm, threshold, n_valid, n_scores: int, cap: int,
+           dense: bool):
+        # n_scores is a BUCKET-stable upper bound (a function of the
+        # padded genome and the bucketed motif length only), so one
+        # compiled program serves every true length in the bucket;
+        # the per-motif validity boundary arrives as the TRACED
+        # n_valid <= n_scores.  Positions in [n_valid, n_scores) hold
+        # well-defined garbage (wildcard-padded windows, never NaN --
+        # PSSMs contain no +inf) and are masked here.
         scores = kernels.score_f32(data, pssm, n_scores)
         pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-        mask = (scores >= threshold) & (pos < n_scores)
+        mask = (scores >= threshold) & (pos < n_valid)
         count, idx, valid = xla_ops.compact_mask(mask, cap, dense)
         safe = jnp.minimum(idx, scores.shape[0] - 1)
-        svals = jnp.where(idx < n_scores, scores[safe], -jnp.inf)
+        svals = jnp.where(idx < n_valid, scores[safe], -jnp.inf)
         n_kept = jnp.minimum(count, cap)
         packed = jnp.stack(
             [idx, jax.lax.bitcast_convert_type(svals, jnp.int32)])
@@ -349,6 +357,7 @@ class MultiScanner:
         )
         self.capacity = int(capacity)
         self._dev = None  # device-cached packed motif data
+        self._dense_dev = {}  # device-cached padded dense-path PSSMs
         self._dseq = None
         self._bound = None  # identity of the bound host sequence
         self._scan_data = None
@@ -596,15 +605,15 @@ class MultiScanner:
 
         dense_fn = _dense_motif_scan_fn()
 
-        def launch_dense(i, pssm_i, n_i, cap, dense):
+        def launch_dense(i, pssm_i, n_i, n_b, cap, dense):
             counts, packed = dense_fn(
-                dseq.data, pssm_i,
-                np.float32(self.thresholds[i]), n_i, cap, dense)
+                dseq.data, pssm_i, np.float32(self.thresholds[i]),
+                np.int32(n_i), n_b, cap, dense)
             head = packed[:, : min(cap, HEAD_SLOTS)]
             return {
                 "kind": "dense", "i": i, "pssm_i": pssm_i, "n_i": n_i,
-                "cap": cap, "dense": dense, "counts": counts,
-                "packed": packed, "head": head,
+                "n_b": n_b, "cap": cap, "dense": dense,
+                "counts": counts, "packed": packed, "head": head,
             }
 
         entries = []
@@ -633,17 +642,24 @@ class MultiScanner:
             n_i = max(dseq.length - m_i + 1, 0)
             if n_i == 0:
                 continue
-            # bucket the motif length to a multiple of 32 so a whole
-            # database compiles at most a few dense kernels: appended
-            # zero rows add 0.0 to every window exactly (any symbol
-            # looks up 0), and n_scores still uses the true length
-            m_b = -(-m_i // 32) * 32
-            pssm_pad = np.zeros((m_b, k), np.float32)
-            pssm_pad[:m_i] = np.asarray(self.pssms[i].data, np.float32)
-            pssm_i = jnp.asarray(pssm_pad)
+            # motif lengths bucket (ops.multi.pack_dense_motif) so a
+            # whole database compiles at most one dense kernel per
+            # bucket.  The static n_scores is also bucket-stable --
+            # the largest valid range of any length in the bucket --
+            # so distinct true lengths share the one compiled
+            # program; n_i rides along traced.
+            pssm_i = self._dense_dev.get(i)
+            if pssm_i is None:
+                pssm_pad, m_b = multi.pack_dense_motif(
+                    self.pssms[i].data, k)
+                pssm_i = self._dense_dev[i] = jnp.asarray(pssm_pad)
+            else:
+                m_b = int(pssm_i.shape[0])
+            n_b = min(dseq.data.shape[0],
+                      max(dseq.length - (m_b - multi.DENSE_BUCKET), 0))
             cap, _, dense = self._group_state.get(
                 ("dense", i), (self.capacity, self.capacity, self._dense))
-            entries.append(launch_dense(i, pssm_i, n_i, cap, dense))
+            entries.append(launch_dense(i, pssm_i, n_i, n_b, cap, dense))
 
         return {
             "entries": entries,
@@ -666,67 +682,68 @@ class MultiScanner:
         batch = jax.device_get(
             [(e["counts"], e["head"]) for e in entries])
 
-        out_pos, out_mot, out_sc = [], [], []
-        for e, (counts_h, head_h) in zip(entries, batch):
-            if e["kind"] == "fused":
-                while True:
+        def settle(e, counts_h, head_h):
+            """ONE ratchet-retry + head-or-full-fetch protocol for both
+            entry kinds: retry with doubled capacities until the
+            counters fit, persist the sticky group state, and return
+            ``(entry, hit array [rows, n_kept] or None)``.  The fused
+            kind carries a second counter (``hit_need``, bounding the
+            extraction stages) and its own relauncher; everything else
+            is shared, so a protocol fix lands on both paths at once.
+            """
+            fused = e["kind"] == "fused"
+            while True:
+                if fused:
                     count, hit_need, n_kept, valid = (
                         int(v) for v in counts_h)
-                    cap, cap_hits, dense = (
-                        e["cap"], e["cap_hits"], e["dense"])
-                    if count <= cap and hit_need <= cap_hits and valid:
-                        break
-                    dense = True
-                    if count > cap:
-                        cap = max(cap, 1 << (count - 1).bit_length())
-                    if hit_need > cap_hits:
-                        cap_hits = max(
-                            cap_hits, 1 << (hit_need - 1).bit_length())
+                else:
+                    count, n_kept, valid = (int(v) for v in counts_h)
+                    hit_need = 0
+                cap, cap_hits = e["cap"], e.get("cap_hits", e["cap"])
+                if count <= cap and hit_need <= cap_hits and valid:
+                    break
+                if count > cap:
+                    cap = max(cap, 1 << (count - 1).bit_length())
+                if hit_need > cap_hits:
+                    cap_hits = max(
+                        cap_hits, 1 << (hit_need - 1).bit_length())
+                if fused:
                     e = token["launch_fused"](
                         e["gi"], e["group"], e["off"], e["n_here"],
-                        cap, cap_hits, dense)
-                    counts_h, head_h = jax.device_get(
-                        (e["counts"], e["head"]))
-                self._group_state[e["gi"]] = (
-                    e["cap"], e["cap_hits"], e["dense"])
-                if n_kept:
-                    if n_kept <= head_h.shape[1]:
-                        arr = np.asarray(head_h[:, :n_kept])
-                    else:
-                        arr = np.asarray(
-                            jax.device_get(e["packed"][:, :n_kept]))
-                    out_pos.append(arr[0] + e["off"])
-                    if e["group"] is not None:
-                        ids = np.asarray(e["group"]["ids"])
-                        out_mot.append(
-                            ids[np.minimum(arr[1], len(ids) - 1)])
-                    else:
-                        out_mot.append(arr[1])
-                    out_sc.append(arr[2].view(np.float32))
-            else:
-                while True:
-                    count, n_kept, valid = (int(v) for v in counts_h)
-                    cap, dense = e["cap"], e["dense"]
-                    if count <= cap and valid:
-                        break
-                    dense = True
-                    if count > cap:
-                        cap = max(cap, 1 << (count - 1).bit_length())
+                        cap, cap_hits, True)
+                else:
                     e = token["launch_dense"](
-                        e["i"], e["pssm_i"], e["n_i"], cap, dense)
-                    counts_h, head_h = jax.device_get(
-                        (e["counts"], e["head"]))
-                self._group_state[("dense", e["i"])] = (
-                    e["cap"], e["cap"], e["dense"])
-                if n_kept:
-                    if n_kept <= head_h.shape[1]:
-                        arr = np.asarray(head_h[:, :n_kept])
-                    else:
-                        arr = np.asarray(
-                            jax.device_get(e["packed"][:, :n_kept]))
-                    out_pos.append(arr[0])
-                    out_mot.append(np.full(n_kept, e["i"], arr[1].dtype))
-                    out_sc.append(arr[1].view(np.float32))
+                        e["i"], e["pssm_i"], e["n_i"], e["n_b"], cap,
+                        True)
+                counts_h, head_h = jax.device_get(
+                    (e["counts"], e["head"]))
+            key = e["gi"] if fused else ("dense", e["i"])
+            self._group_state[key] = (
+                e["cap"], e.get("cap_hits", e["cap"]), e["dense"])
+            if not n_kept:
+                return e, None
+            if n_kept <= head_h.shape[1]:
+                return e, np.asarray(head_h[:, :n_kept])
+            return e, np.asarray(jax.device_get(e["packed"][:, :n_kept]))
+
+        out_pos, out_mot, out_sc = [], [], []
+        for e, (counts_h, head_h) in zip(entries, batch):
+            e, arr = settle(e, counts_h, head_h)
+            if arr is None:
+                continue
+            if e["kind"] == "fused":
+                out_pos.append(arr[0] + e["off"])
+                if e["group"] is not None:
+                    ids = np.asarray(e["group"]["ids"])
+                    out_mot.append(ids[np.minimum(arr[1], len(ids) - 1)])
+                else:
+                    out_mot.append(arr[1])
+                out_sc.append(arr[2].view(np.float32))
+            else:
+                out_pos.append(arr[0])
+                out_mot.append(
+                    np.full(arr.shape[1], e["i"], arr[1].dtype))
+                out_sc.append(arr[1].view(np.float32))
         # self.capacity / self._dense stay the per-NEW-group seeds;
         # each group's sticky ratchet lives in _group_state (persists
         # across bind(), like the old scanner-wide stickiness)

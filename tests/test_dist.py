@@ -1,5 +1,6 @@
 """ScoreDistribution golden tests (reference ``pwm/dist.rs:236-300``)."""
 
+import numpy as np
 import pytest
 
 from lightmotif_tpu import ScoreDistribution
@@ -45,3 +46,17 @@ def test_sample(cdf):
     rng = np.random.default_rng(42)
     samples = [cdf.sample(rng) for _ in range(100)]
     assert all(np.isfinite(samples))
+
+
+def test_pvalue_nonfinite_scalar_vector_parity(cdf):
+    """pvalues() raises the same exceptions the scalar int(round(x))
+    path does for non-finite scores -- casting inf/nan through
+    astype(int64) silently yielded an arbitrary clamped p-value."""
+    with pytest.raises(OverflowError):
+        cdf.pvalue(np.inf)
+    with pytest.raises(OverflowError):
+        cdf.pvalues([1.0, np.inf])
+    with pytest.raises(ValueError):
+        cdf.pvalue(np.nan)
+    with pytest.raises(ValueError):
+        cdf.pvalues([np.nan, 1.0])

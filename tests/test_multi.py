@@ -742,3 +742,41 @@ def test_fused_u16_wildcard_above_body_max_soundness():
         kernels.INTERPRET = False
         jax.clear_caches()
     assert got == want
+
+
+def test_dense_bucket_shares_one_compile(monkeypatch):
+    """Two long motifs whose lengths share a 32-row dense bucket run
+    ONE compiled dense program: the true valid-window count is traced
+    and every static shape (pssm rows, n_scores bound) is a function
+    of the bucket only.  A whole database of long motifs must not pay
+    one 30-60 s remote compile per distinct length."""
+    from lightmotif_tpu.scanner import _dense_motif_scan_fn
+
+    monkeypatch.setattr(MultiScanner, "DENSE_M_LIMIT", 64)
+    rng = np.random.default_rng(5)
+    pssms = []
+    for m in (70, 75, 96):  # all bucket to m_b = 96
+        sites = ["".join("ACTG"[j] for j in rng.integers(0, 4, size=m))
+                 for _ in range(3)]
+        pssms.append(CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites
+        ).to_freq(0.1).to_weight(None).to_scoring())
+    seq = EncodedSequence(rng.integers(0, 4, size=3000, dtype=np.uint8))
+
+    fn = _dense_motif_scan_fn()
+    before = fn._cache_size()
+    ms = MultiScanner(pssms, thresholds=-np.inf, capacity=8192)
+    mo, pos, sc = ms.scan_arrays(seq)
+    assert fn._cache_size() == before + 1
+    for i, p in enumerate(pssms):
+        host = np.asarray(p.score_host(seq))
+        sel = mo == i
+        assert int(sel.sum()) == len(host)
+        assert np.array_equal(sc[sel], host)
+        assert np.array_equal(pos[sel], np.arange(len(host)))
+    # a rescan reuses the device-cached dense PSSMs (no re-upload)
+    cached = dict(ms._dense_dev)
+    mo2, pos2, sc2 = ms.scan_arrays(
+        EncodedSequence(rng.integers(0, 4, size=3000, dtype=np.uint8)))
+    for i, arr in cached.items():
+        assert ms._dense_dev[i] is arr

@@ -281,3 +281,49 @@ def test_sharded_multi_scan_database_scale(monkeypatch):
     b = [(h.motif, h.position, h.score) for h in single]
     assert a == b
     assert {h.motif for h in hits} == set(range(6))
+
+
+def test_sharded_dense_bucket_shares_one_compile(monkeypatch):
+    """Mesh counterpart of the single-chip dense-bucket rule: two long
+    motifs whose lengths share a 32-row bucket (and hence a shard
+    geometry) run ONE compiled sharded dense program -- n_i is a
+    traced arg of _sharded_dense_impl, not a static."""
+    import numpy as np
+
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel import make_genome_mesh, sharded_multi_scan
+    from lightmotif_tpu.parallel.mesh import _sharded_dense_impl
+    from lightmotif_tpu.scanner import MultiScanner
+
+    monkeypatch.setattr(MultiScanner, "DENSE_M_LIMIT", 16)
+
+    rng = np.random.default_rng(11)
+    pssms = []
+    for m in (33, 38, 64):  # all bucket to m_b = 64
+        sites = ["".join("ACTG"[j] for j in rng.integers(0, 4, size=m))
+                 for _ in range(4)]
+        pssms.append(CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites
+        ).to_freq(0.1).to_weight(None).to_scoring())
+    genome = rng.integers(0, 4, size=777, dtype=np.int8)
+    seq = EncodedSequence(genome.astype(np.uint8))
+    hosts = [np.asarray(p.score_host(seq)) for p in pssms]
+    ths = [float(h.min()) - 1.0 for h in hosts]  # keep every window
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        before = _sharded_dense_impl._cache_size()
+        mesh2 = make_genome_mesh(jax.devices()[:2])
+        hits = sharded_multi_scan(
+            pssms, genome, ths, mesh=mesh2, pad_unit=64,
+            cap=2048)
+        assert _sharded_dense_impl._cache_size() == before + 1
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    for i, host in enumerate(hosts):
+        got = [(h.position, h.score) for h in hits if h.motif == i]
+        assert got == [(p, float(np.float32(s)))
+                       for p, s in enumerate(host)]
