@@ -497,6 +497,7 @@ def sharded_multi_scan(
     wildcard = k - 1
     holder = _MeshHolder(mesh)
     hits = []
+    entries = []  # every in-flight device program, fused and dense
 
     if gstarts:
         # both fused passes run at u16 resolution (pack_motif_group),
@@ -521,6 +522,18 @@ def sharded_multi_scan(
         shards_dev = _put_sharded(shards, mesh)
 
         rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
+
+        def launch_group(ids, args, m_bucket, g_cap, g_cap_hits, dense):
+            counts, packed = _sharded_multi_impl(
+                shards_dev, *args, chunk, g_cap, g_cap_hits,
+                m_bucket, k, holder, dense)
+            head = (packed[:, :, : min(g_cap_hits, _HEAD_SLOTS)]
+                    if jax.process_count() == 1 else None)
+            return {"kind": "fused", "ids": ids, "args": args,
+                    "m_bucket": m_bucket, "cap": g_cap,
+                    "cap_hits": g_cap_hits, "dense": dense,
+                    "counts": counts, "packed": packed, "head": head}
+
         for s in gstarts:
             ids = short_idx[s:s + gsize]
             gm = gsize if multi_group else len(ids)
@@ -533,7 +546,6 @@ def sharded_multi_scan(
                 multi.group_bucket(int(lengths_all[ids].max()), rpb,
                                    multi_group),
                 pssm_stack, thresholds, k)
-            m_bucket = g["m_max"]
             m_pad = g["f_hi"].shape[1]
             nv_g = np.zeros((1, m_pad), np.int32)
             nv_g[0, : len(ids)] = np.maximum(
@@ -545,46 +557,27 @@ def sharded_multi_scan(
                 jnp.asarray(nv_g),
                 (jnp.asarray(g["f_hi"]), jnp.asarray(g["f_lo"])),
             )
-            g_cap, g_cap_hits, dense = cap, cap, False
-            while True:
-                counts, packed = _sharded_multi_impl(
-                    shards_dev, *args, chunk, g_cap, g_cap_hits,
-                    m_bucket, k, holder, dense)
-                head_h = None
-                if jax.process_count() == 1:
-                    head = packed[:, :, : min(g_cap_hits, _HEAD_SLOTS)]
-                    counts, head_h = jax.device_get((counts, head))
-                counts = np.asarray(jax.device_get(counts))  # [n_dev, 4]
-                count = int(counts[:, 0].max(initial=0))
-                hit_need = int(counts[:, 1].max(initial=0))
-                all_valid = bool(counts[:, 3].min(initial=1))
-                if count <= g_cap and hit_need <= g_cap_hits and all_valid:
-                    break
-                dense = True
-                if count > g_cap:
-                    g_cap = max(g_cap, 1 << (count - 1).bit_length())
-                if hit_need > g_cap_hits:
-                    g_cap_hits = max(
-                        g_cap_hits, 1 << (hit_need - 1).bit_length())
-            ids_arr = np.asarray(ids)
-            for shard in packed.addressable_shards:
-                d = shard.index[0].start or 0
-                n_kept = int(counts[d, 2])
-                if n_kept:
-                    if head_h is not None and n_kept <= head_h.shape[2]:
-                        arr = np.asarray(head_h[d, :, :n_kept])
-                    else:
-                        arr = np.asarray(shard.data)[0, :, :n_kept]
-                    gids = ids_arr[np.minimum(arr[1], len(ids_arr) - 1)]
-                    for p, mo, sb in zip(arr[0], gids,
-                                         arr[2].view(np.float32)):
-                        hits.append(MultiHit(int(mo), int(p), float(sb)))
+            entries.append(launch_group(
+                ids, args, g["m_max"], cap, cap, False))
 
     # dense path: exact f32 scoring + compaction per shard for motifs
     # the prefilter cannot serve; motif lengths bucket
     # (ops.multi.pack_dense_motif, shared with the single-chip dense
     # path) so a whole database compiles at most one dense program per
     # bucket -- n_i is a traced arg of _sharded_dense_impl
+    def launch_dense(i, dshards, pssm_dev, chunk_i, n_i, block_lanes,
+                     g_cap, dense):
+        counts, packed = _sharded_dense_impl(
+            dshards, pssm_dev, jnp.float32(thresholds[i]), chunk_i,
+            jnp.int32(n_i), g_cap, holder, dense, block_lanes)
+        head = (packed[:, :, : min(g_cap, _HEAD_SLOTS)]
+                if jax.process_count() == 1 else None)
+        return {"kind": "dense", "i": i, "dshards": dshards,
+                "pssm": pssm_dev, "chunk": chunk_i, "n_i": n_i,
+                "block_lanes": block_lanes, "cap": g_cap,
+                "dense": dense, "counts": counts, "packed": packed,
+                "head": head}
+
     dense_shards = {}
     for i in dense_idx:
         i = int(i)
@@ -598,43 +591,71 @@ def sharded_multi_scan(
         # sizing it from the bucketed m_b loses the last m_b - m_i
         # window starts whenever the rounding slack is smaller, and two
         # buckets can share a halo, so the cache key includes chunk
-        chunk = _chunk_for(n_i, n_dev, unit)
-        geom = (unit, halo, chunk)
+        chunk_i = _chunk_for(n_i, n_dev, unit)
+        geom = (unit, halo, chunk_i)
         if geom not in dense_shards:
             shards0, chunk0, _ = shard_sequence(
                 encoded, n_dev, m_i, wildcard, pad_multiple=unit,
                 halo=halo)
-            assert chunk0 == chunk
+            assert chunk0 == chunk_i
             dense_shards[geom] = _put_sharded(shards0, mesh)
-        shards_dev = dense_shards[geom]
-        g_cap, dense = cap, False
+        entries.append(launch_dense(
+            i, dense_shards[geom], jnp.asarray(pssm_pad), chunk_i,
+            n_i, block_lanes, cap, False))
+
+    # every (group x dense-motif) device program is now in flight
+    # back-to-back; ONE host round trip fetches all counters (+ hit
+    # heads in single-process mode) -- the mesh mirror of
+    # MultiScanner's dispatch()/fetch() split.  Entries whose
+    # capacities overflowed retry individually.
+    if not entries:
+        return []
+    batch = jax.device_get([(e["counts"], e["head"]) for e in entries])
+    for e, (counts_h, head_h) in zip(entries, batch):
+        fused = e["kind"] == "fused"
         while True:
-            counts, packed = _sharded_dense_impl(
-                shards_dev, jnp.asarray(pssm_pad),
-                jnp.float32(thresholds[i]), chunk, jnp.int32(n_i),
-                g_cap, holder, dense, block_lanes)
-            head_h = None
-            if jax.process_count() == 1:
-                head = packed[:, :, : min(g_cap, _HEAD_SLOTS)]
-                counts, head_h = jax.device_get((counts, head))
-            counts = np.asarray(jax.device_get(counts))  # [n_dev, 3]
-            worst = int(counts[:, 0].max(initial=0))
-            all_valid = bool(counts[:, 2].min(initial=1))
-            if worst <= g_cap and all_valid:
+            counts_h = np.asarray(counts_h)  # [n_dev, 4] / [n_dev, 3]
+            count = int(counts_h[:, 0].max(initial=0))
+            hit_need = (int(counts_h[:, 1].max(initial=0))
+                        if fused else 0)
+            all_valid = bool(counts_h[:, 3 if fused else 2]
+                             .min(initial=1))
+            g_cap = e["cap"]
+            g_cap_hits = e["cap_hits"] if fused else g_cap
+            if count <= g_cap and hit_need <= g_cap_hits and all_valid:
                 break
-            dense = True
-            if worst > g_cap:
-                g_cap = max(g_cap, 1 << (worst - 1).bit_length())
-        for shard in packed.addressable_shards:
+            if count > g_cap:
+                g_cap = max(g_cap, 1 << (count - 1).bit_length())
+            if hit_need > g_cap_hits:
+                g_cap_hits = max(
+                    g_cap_hits, 1 << (hit_need - 1).bit_length())
+            if fused:
+                e = launch_group(e["ids"], e["args"], e["m_bucket"],
+                                 g_cap, g_cap_hits, True)
+            else:
+                e = launch_dense(e["i"], e["dshards"], e["pssm"],
+                                 e["chunk"], e["n_i"],
+                                 e["block_lanes"], g_cap, True)
+            counts_h, head_h = jax.device_get((e["counts"], e["head"]))
+        kept_col = 2 if fused else 1
+        ids_arr = np.asarray(e["ids"]) if fused else None
+        for shard in e["packed"].addressable_shards:
             d = shard.index[0].start or 0
-            n_kept = int(counts[d, 1])
-            if n_kept:
-                if head_h is not None and n_kept <= head_h.shape[2]:
-                    arr = np.asarray(head_h[d, :, :n_kept])
-                else:
-                    arr = np.asarray(shard.data)[0, :, :n_kept]
+            n_kept = int(counts_h[d, kept_col])
+            if not n_kept:
+                continue
+            if head_h is not None and n_kept <= head_h.shape[2]:
+                arr = np.asarray(head_h[d, :, :n_kept])
+            else:
+                arr = np.asarray(shard.data)[0, :, :n_kept]
+            if fused:
+                gids = ids_arr[np.minimum(arr[1], len(ids_arr) - 1)]
+                for p, mo, sb in zip(arr[0], gids,
+                                     arr[2].view(np.float32)):
+                    hits.append(MultiHit(int(mo), int(p), float(sb)))
+            else:
                 for p, sb in zip(arr[0], arr[1].view(np.float32)):
-                    hits.append(MultiHit(i, int(p), float(sb)))
+                    hits.append(MultiHit(e["i"], int(p), float(sb)))
 
     hits.sort(key=lambda h: (h.motif, h.position))
     return hits
