@@ -142,11 +142,15 @@ def _build_strands(motifs, args):
     return strands
 
 
-def _scan_all(motifs, seq, args):
+def _scan_all(motifs, seq, args, cache=None):
     """Yield (job, strand, hit) for every motif/strand over one sequence.
 
-    With multiple motifs (and no mesh) all (motif, strand) matrices scan
-    in a single fused device pass (:class:`MultiScanner`)."""
+    With multiple motifs all (motif, strand) matrices scan in a single
+    fused device pass (:class:`MultiScanner`, or its mesh counterpart
+    :class:`~lightmotif_tpu.parallel.ShardedMultiScanner` under
+    ``--mesh``).  ``cache`` (a dict) persists the packed motif
+    database across records, so multi-record streams pay the
+    database-preparation cost once."""
     strands = _build_strands(motifs, args)
     if len(strands) <= 1:
         for job, strand, pssm in strands:
@@ -154,27 +158,34 @@ def _scan_all(motifs, seq, args):
                 yield job, strand, hit
         return
     if args.mesh:
-        from .parallel import sharded_multi_scan
+        from .parallel import ShardedMultiScanner
 
         # handles any motif set: length-sorted group batching for the
         # fused range, exact dense per-shard passes for the rest
-        hits = sharded_multi_scan(
-            [p for _, _, p in strands],
-            np.asarray(seq.data, dtype="int8"),
-            [job.threshold for job, _, _ in strands],
-        )
+        scanner = None if cache is None else cache.get("mesh")
+        if scanner is None:
+            scanner = ShardedMultiScanner(
+                [p for _, _, p in strands],
+                thresholds=[job.threshold for job, _, _ in strands],
+            )
+            if cache is not None:
+                cache["mesh"] = scanner
+        hits = scanner.scan(np.asarray(seq.data, dtype="int8"))
         for hit in hits:
             job, strand, _ = strands[hit.motif]
             yield job, strand, hit
         return
     from .scanner import MultiScanner
 
-    scanner = MultiScanner(
-        [p for _, _, p in strands],
-        seq,
-        [job.threshold for job, _, _ in strands],
-    )
-    for hit in scanner.collect():
+    scanner = None if cache is None else cache.get("single")
+    if scanner is None:
+        scanner = MultiScanner(
+            [p for _, _, p in strands],
+            thresholds=[job.threshold for job, _, _ in strands],
+        )
+        if cache is not None:
+            cache["single"] = scanner
+    for hit in scanner.scan(seq):
         job, strand, _ = strands[hit.motif]
         yield job, strand, hit
 
@@ -291,6 +302,7 @@ def main(argv=None) -> int:
         # lookups and TSV writing overlap device work (each token pins
         # its own device buffers)
         pending = None
+        scan_cache = {}  # packed motif DB persists across solo records
         for flight, prep, solo, last in _read_flights(
                 args, alphabet, gap, args.flight_bytes, prepare_fn):
             if prep is not None:
@@ -304,7 +316,7 @@ def main(argv=None) -> int:
                     pending = None
                 for record, seq in flight:
                     write_hits(si, record.name,
-                               _scan_all(motifs, seq, args))
+                               _scan_all(motifs, seq, args, scan_cache))
                     si += 1
                 _account(flight)
         if pending is not None:

@@ -1,6 +1,7 @@
 """Multi-device (mesh) parallelism for genome-scale scanning."""
 
 from .mesh import (
+    ShardedMultiScanner,
     ShardedScanner,
     make_genome_mesh,
     shard_sequence,
@@ -10,6 +11,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "ShardedMultiScanner",
     "ShardedScanner",
     "make_genome_mesh",
     "shard_sequence",

@@ -42,6 +42,7 @@ __all__ = [
     "sharded_multi_scan",
     "sharded_argmax",
     "ShardedScanner",
+    "ShardedMultiScanner",
 ]
 
 
@@ -428,6 +429,315 @@ def _sharded_dense_impl(shards, pssm, threshold, chunk, n_scores, cap,
     )(shards, pssm, threshold, n_scores)
 
 
+class ShardedMultiScanner:
+    """Persistent multi-device counterpart of
+    :class:`lightmotif_tpu.scanner.MultiScanner`.
+
+    Packs the motif database ONCE -- routing (fused vs dense),
+    length-sorted groups of ``MultiScanner.GROUP_MOTIFS``, u16 filter
+    packing, device uploads -- then scans any number of genomes with
+    :meth:`bind`/:meth:`collect` (or one-call :meth:`scan`), so a
+    streaming consumer (the CLI's ``--mesh`` path) pays the
+    database-preparation cost once, exactly like the single-chip
+    ``MultiScanner``.  Per-group (cap, cap_hits, dense) ratchets are
+    sticky across binds.
+
+    Every device runs the fused MXU prefilter on its genome shard with
+    the motif set replicated; accepted hits are front-compacted per
+    shard and merged on the host.  Motifs the fused prefilter cannot
+    serve -- past ``MultiScanner.dense_m_limit(k)`` (the contraction-
+    block geometry, unless overridden) or outside the packed-filter
+    range for this alphabet -- take the exact dense path per shard
+    (:func:`_sharded_dense_impl`), so any motif set a ``MultiScanner``
+    accepts runs on the mesh.
+
+    Like ``MultiScanner``, the scan splits into :meth:`dispatch` (queue
+    every (group x dense-motif) device program back-to-back, no
+    blocking) and :meth:`fetch` (ONE host round trip for all counters
+    + hit heads; overflowed entries retry individually against the
+    token's pinned bind state, so rebinding before fetch is safe).
+
+    ``pad_unit`` overrides the dense path's shard alignment (tests
+    pass small units for interpret mode, like :func:`sharded_scan`).
+    """
+
+    def __init__(self, pssms, seq=None, thresholds=0.0,
+                 mesh: Mesh | None = None, cap: int = 1 << 16,
+                 pad_unit: int | None = None):
+        from ..ops import multi, multi_kernel
+        from ..scanner import MultiScanner
+
+        self.pssms = list(pssms)
+        if not self.pssms:
+            raise ValueError("no motifs given")
+        mcount = len(self.pssms)
+        self.k = k = self.pssms[0].alphabet.size
+        self.lengths = np.asarray(
+            [np.asarray(p.data).shape[0] for p in self.pssms], np.int64)
+        if np.isscalar(thresholds):
+            thresholds = [float(thresholds)] * mcount
+        self.thresholds = np.asarray(thresholds, np.float32)
+        self.mesh = mesh or make_genome_mesh()
+        self.cap = int(cap)
+        self.pad_unit = pad_unit
+        self._holder = _MeshHolder(self.mesh)
+        self._group_state = {}  # sticky per-group / per-dense ratchets
+
+        # per-motif routing: fused two-pass prefilter where it is sound
+        # and supported, exact dense scoring everywhere else
+        fusable = np.asarray([
+            m <= MultiScanner.dense_m_limit(k)
+            and multi_kernel.supports_fused(int(m), k, 1)
+            for m in self.lengths
+        ])
+        short_idx = np.nonzero(fusable)[0]
+        dense_idx = np.nonzero(~fusable)[0]
+        # length-sorted groups: each group's contraction-block bucket
+        # (and the per-pair rescore width) matches its own longest motif
+        short_idx = short_idx[np.argsort(self.lengths[short_idx],
+                                         kind="stable")]
+        n_short = int(short_idx.size)
+        gsize = min(MultiScanner.GROUP_MOTIFS, n_short)
+        gstarts = list(range(0, n_short, gsize)) if gsize else []
+        multi_group = len(gstarts) > 1
+
+        self._groups = []
+        self._m_min = None
+        if gstarts:
+            # both fused passes run at u16 resolution
+            # (pack_motif_group), so no u8 discretization is needed on
+            # this path at all; shared packing with MultiScanner
+            pssm_stack, _ = multi.stack_motifs(
+                [np.asarray(p.data, np.float32) for p in self.pssms], k)
+            rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
+            self._m_min = int(self.lengths[short_idx].min())
+            for s in gstarts:
+                ids = short_idx[s:s + gsize]
+                g = multi.pack_motif_group(
+                    ids, gsize if multi_group else len(ids),
+                    multi.group_bucket(int(self.lengths[ids].max()),
+                                       rpb, multi_group),
+                    pssm_stack, self.thresholds, k)
+                self._groups.append({
+                    "ids": ids,
+                    "m_bucket": g["m_max"],
+                    "m_pad": g["f_hi"].shape[1],
+                    "pssm": jnp.asarray(g["pssm"]),
+                    "th": jnp.asarray(g["th"]),
+                    "filters": (jnp.asarray(g["f_hi"]),
+                                jnp.asarray(g["f_lo"])),
+                })
+        self._dense = []
+        for i in dense_idx:
+            # motif lengths bucket (ops.multi.pack_dense_motif, shared
+            # with the single-chip dense path) so a whole database
+            # compiles at most one dense program per bucket -- n_i is
+            # a traced arg of _sharded_dense_impl
+            i = int(i)
+            pssm_pad, m_b = multi.pack_dense_motif(self.pssms[i].data, k)
+            unit, halo, block_lanes = _halo_unit(m_b, pad_unit)
+            self._dense.append({
+                "i": i, "m_i": int(self.lengths[i]),
+                "pssm": jnp.asarray(pssm_pad),
+                "unit": unit, "halo": halo,
+                "block_lanes": block_lanes,
+            })
+        self._bound = None
+        if seq is not None:
+            self.bind(seq)
+
+    def bind(self, encoded) -> "ShardedMultiScanner":
+        """Shard a (new) genome onto the mesh; the packed motif
+        database and compiled device programs are reused."""
+        from ..ops import multi_kernel
+
+        if hasattr(encoded, "unstripe"):
+            encoded = encoded.unstripe()
+        if hasattr(encoded, "data"):
+            encoded = encoded.data
+        encoded = np.asarray(encoded, np.int8)
+        n = int(encoded.size)
+        n_dev = self.mesh.devices.size
+        wildcard = self.k - 1
+        st = {"n": n}
+        if self._groups:
+            # shard widths must tile the fused kernel geometry; the
+            # halo (one unit) covers every fused motif (m <= the block
+            # limit).  chunk depends only on (n, mesh, motif set), so
+            # same-length genomes reuse the compiled programs.
+            unit = max(xla_ops.PAD_MULTIPLE, multi_kernel.TILE)
+            n_scores_max = max(n - self._m_min + 1, 0)
+            chunk = -(-max(n_scores_max, 1) // n_dev)
+            chunk = max(-(-chunk // unit) * unit, unit)
+            width = chunk + unit
+            shards = np.full((n_dev, width), wildcard, dtype=np.int8)
+            for d in range(n_dev):
+                start = d * chunk
+                stop = min(start + width, n)
+                if start < n:
+                    shards[d, : stop - start] = encoded[start:stop]
+            st["chunk"] = chunk
+            st["shards"] = _put_sharded(shards, self.mesh)
+            st["nv"] = []
+            for grp in self._groups:
+                nv_g = np.zeros((1, grp["m_pad"]), np.int32)
+                nv_g[0, : len(grp["ids"])] = np.maximum(
+                    n - self.lengths[grp["ids"]] + 1, 0)
+                st["nv"].append(jnp.asarray(nv_g))
+        dense_shards = {}
+        st["dense"] = []
+        for dn in self._dense:
+            n_i = max(n - dn["m_i"] + 1, 0)
+            if n_i == 0:
+                continue
+            # chunk (shard ownership) must come from the TRUE motif
+            # length: sizing it from the bucketed m_b loses the last
+            # m_b - m_i window starts whenever the rounding slack is
+            # smaller, and two buckets can share a halo, so the shard
+            # cache key includes chunk
+            chunk_i = _chunk_for(n_i, n_dev, dn["unit"])
+            geom = (dn["unit"], dn["halo"], chunk_i)
+            if geom not in dense_shards:
+                shards0, chunk0, _ = shard_sequence(
+                    encoded, n_dev, dn["m_i"], wildcard,
+                    pad_multiple=dn["unit"], halo=dn["halo"])
+                assert chunk0 == chunk_i
+                dense_shards[geom] = _put_sharded(shards0, self.mesh)
+            st["dense"].append((dn, dense_shards[geom], chunk_i, n_i))
+        self._bound = st
+        return self
+
+    def dispatch(self):
+        """Queue every device program for the bound genome and return
+        an opaque token (no blocking); pass it to :meth:`fetch`."""
+        st = self._bound
+        if st is None:
+            raise ValueError("no sequence bound; use scan(seq)/bind(seq)")
+        holder, k = self._holder, self.k
+
+        def launch_group(grp, nv, g_cap, g_cap_hits, dense):
+            counts, packed = _sharded_multi_impl(
+                st["shards"], None, grp["pssm"], grp["th"], nv,
+                grp["filters"], st["chunk"], g_cap, g_cap_hits,
+                grp["m_bucket"], k, holder, dense)
+            head = (packed[:, :, : min(g_cap_hits, _HEAD_SLOTS)]
+                    if jax.process_count() == 1 else None)
+            return {"kind": "fused", "grp": grp, "nv": nv,
+                    "cap": g_cap, "cap_hits": g_cap_hits,
+                    "dense": dense, "counts": counts, "packed": packed,
+                    "head": head}
+
+        def launch_dense(dn, dshards, chunk_i, n_i, g_cap, dense):
+            counts, packed = _sharded_dense_impl(
+                dshards, dn["pssm"],
+                jnp.float32(self.thresholds[dn["i"]]), chunk_i,
+                jnp.int32(n_i), g_cap, holder, dense,
+                dn["block_lanes"])
+            head = (packed[:, :, : min(g_cap, _HEAD_SLOTS)]
+                    if jax.process_count() == 1 else None)
+            return {"kind": "dense", "dn": dn, "dshards": dshards,
+                    "chunk": chunk_i, "n_i": n_i, "cap": g_cap,
+                    "dense": dense, "counts": counts, "packed": packed,
+                    "head": head}
+
+        entries = []
+        for gi, grp in enumerate(self._groups):
+            g_cap, g_cap_hits, dense = self._group_state.get(
+                gi, (self.cap, self.cap, False))
+            e = launch_group(grp, st["nv"][gi], g_cap, g_cap_hits,
+                             dense)
+            e["gi"] = gi
+            entries.append(e)
+        for dn, dshards, chunk_i, n_i in st["dense"]:
+            g_cap, _, dense = self._group_state.get(
+                ("dense", dn["i"]), (self.cap, self.cap, False))
+            entries.append(launch_dense(dn, dshards, chunk_i, n_i,
+                                        g_cap, dense))
+        return {"entries": entries, "launch_group": launch_group,
+                "launch_dense": launch_dense}
+
+    def fetch(self, token):
+        """Hits for a :meth:`dispatch` token, ordered by
+        (motif, position): ONE host round trip fetches every entry's
+        counters (+ hit heads in single-process mode); entries whose
+        capacities overflowed retry individually against the token's
+        pinned bind state."""
+        from ..scanner import MultiHit
+
+        entries = token["entries"]
+        hits = []
+        if not entries:
+            return hits
+        batch = jax.device_get(
+            [(e["counts"], e["head"]) for e in entries])
+        for e, (counts_h, head_h) in zip(entries, batch):
+            fused = e["kind"] == "fused"
+            while True:
+                counts_h = np.asarray(counts_h)  # [n_dev, 4] / [n_dev, 3]
+                count = int(counts_h[:, 0].max(initial=0))
+                hit_need = (int(counts_h[:, 1].max(initial=0))
+                            if fused else 0)
+                all_valid = bool(counts_h[:, 3 if fused else 2]
+                                 .min(initial=1))
+                g_cap = e["cap"]
+                g_cap_hits = e["cap_hits"] if fused else g_cap
+                if (count <= g_cap and hit_need <= g_cap_hits
+                        and all_valid):
+                    break
+                if count > g_cap:
+                    g_cap = max(g_cap, 1 << (count - 1).bit_length())
+                if hit_need > g_cap_hits:
+                    g_cap_hits = max(
+                        g_cap_hits, 1 << (hit_need - 1).bit_length())
+                if fused:
+                    gi = e["gi"]
+                    e = token["launch_group"](e["grp"], e["nv"], g_cap,
+                                              g_cap_hits, True)
+                    e["gi"] = gi
+                else:
+                    e = token["launch_dense"](e["dn"], e["dshards"],
+                                              e["chunk"], e["n_i"],
+                                              g_cap, True)
+                counts_h, head_h = jax.device_get(
+                    (e["counts"], e["head"]))
+            if fused:
+                self._group_state[e["gi"]] = (
+                    e["cap"], e["cap_hits"], e["dense"])
+            else:
+                self._group_state[("dense", e["dn"]["i"])] = (
+                    e["cap"], e["cap"], e["dense"])
+            kept_col = 2 if fused else 1
+            ids_arr = np.asarray(e["grp"]["ids"]) if fused else None
+            for shard in e["packed"].addressable_shards:
+                d = shard.index[0].start or 0
+                n_kept = int(counts_h[d, kept_col])
+                if not n_kept:
+                    continue
+                if head_h is not None and n_kept <= head_h.shape[2]:
+                    arr = np.asarray(head_h[d, :, :n_kept])
+                else:
+                    arr = np.asarray(shard.data)[0, :, :n_kept]
+                if fused:
+                    gids = ids_arr[np.minimum(arr[1], len(ids_arr) - 1)]
+                    for p, mo, sb in zip(arr[0], gids,
+                                         arr[2].view(np.float32)):
+                        hits.append(
+                            MultiHit(int(mo), int(p), float(sb)))
+                else:
+                    for p, sb in zip(arr[0], arr[1].view(np.float32)):
+                        hits.append(
+                            MultiHit(e["dn"]["i"], int(p), float(sb)))
+        hits.sort(key=lambda h: (h.motif, h.position))
+        return hits
+
+    def collect(self):
+        return self.fetch(self.dispatch())
+
+    def scan(self, encoded):
+        """``bind(encoded).collect()`` -- one call per genome."""
+        return self.bind(encoded).collect()
+
+
 def sharded_multi_scan(
     pssms,
     encoded: np.ndarray,
@@ -438,9 +748,9 @@ def sharded_multi_scan(
 ):
     """Scan many PSSMs over a genome sharded across the device mesh.
 
-    Every device runs the fused MXU prefilter on its genome shard with
-    the motif set replicated; accepted hits are front-compacted per
-    shard and merged on the host.  Returns a list of
+    One-shot functional form of :class:`ShardedMultiScanner` (which
+    packs the motif database once and reuses it across genomes --
+    prefer it for repeated scans).  Returns a list of
     :class:`lightmotif_tpu.scanner.MultiHit`.
 
     Scales to whole databases the same way ``MultiScanner`` does
@@ -449,216 +759,14 @@ def sharded_multi_scan(
     ``MultiScanner.GROUP_MOTIFS`` (past ~1-2k motifs the any-candidate
     union saturates the genome and the ``[cap, M]`` stages blow past
     HBM), each group scanning the device-resident shards with its own
-    (cap, cap_hits, dense) ratchet.  Motifs the fused prefilter cannot
-    serve -- past ``MultiScanner.dense_m_limit(k)`` (the contraction-
-    block geometry, unless overridden) or outside the packed-filter
-    range for this alphabet -- take the exact dense path per shard
-    (:func:`_sharded_dense_impl`), so any motif set a ``MultiScanner``
-    accepts runs on the mesh.
-
-    ``pad_unit`` overrides the dense path's shard alignment (tests
-    pass small units for interpret mode, like :func:`sharded_scan`).
+    (cap, cap_hits, dense) ratchet.
     """
-    from ..ops import multi, multi_kernel
-    from ..scanner import MultiHit, MultiScanner
-
     pssms = list(pssms)
-    mcount = len(pssms)
-    if not mcount:
+    if not pssms:
         return []
-    k = pssms[0].alphabet.size
-    lengths_all = np.asarray(
-        [np.asarray(p.data).shape[0] for p in pssms], np.int64)
-    if np.isscalar(thresholds):
-        thresholds = [float(thresholds)] * mcount
-    thresholds = np.asarray(thresholds, np.float32)
-
-    # per-motif routing: fused two-pass prefilter where it is sound
-    # and supported, exact dense scoring everywhere else
-    fusable = np.asarray([
-        m <= MultiScanner.dense_m_limit(k)
-        and multi_kernel.supports_fused(int(m), k, 1)
-        for m in lengths_all
-    ])
-    short_idx = np.nonzero(fusable)[0]
-    dense_idx = np.nonzero(~fusable)[0]
-    # length-sorted groups: each group's contraction-block bucket (and
-    # the per-pair rescore width) matches its own longest motif
-    short_idx = short_idx[np.argsort(lengths_all[short_idx],
-                                     kind="stable")]
-    n_short = int(short_idx.size)
-    gsize = min(MultiScanner.GROUP_MOTIFS, n_short)
-    gstarts = list(range(0, n_short, gsize)) if gsize else []
-    multi_group = len(gstarts) > 1
-
-    mesh = mesh or make_genome_mesh()
-    n_dev = mesh.devices.size
-    n = int(encoded.size)
-    wildcard = k - 1
-    holder = _MeshHolder(mesh)
-    hits = []
-    entries = []  # every in-flight device program, fused and dense
-
-    if gstarts:
-        # both fused passes run at u16 resolution (pack_motif_group),
-        # so no u8 discretization is needed on this path at all
-        pssm_stack, lengths = multi.stack_motifs(
-            [np.asarray(p.data, np.float32) for p in pssms], k)
-
-        # shard widths must tile the fused kernel geometry; the halo
-        # (one unit) covers every fused motif (m <= the block limit)
-        unit = max(xla_ops.PAD_MULTIPLE, multi_kernel.TILE)
-        m_min = int(lengths_all[short_idx].min())
-        n_scores_max = max(n - m_min + 1, 0)
-        chunk = -(-max(n_scores_max, 1) // n_dev)
-        chunk = max(-(-chunk // unit) * unit, unit)
-        width = chunk + unit
-        shards = np.full((n_dev, width), wildcard, dtype=np.int8)
-        for d in range(n_dev):
-            start = d * chunk
-            stop = min(start + width, n)
-            if start < n:
-                shards[d, : stop - start] = encoded[start:stop]
-        shards_dev = _put_sharded(shards, mesh)
-
-        rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
-
-        def launch_group(ids, args, m_bucket, g_cap, g_cap_hits, dense):
-            counts, packed = _sharded_multi_impl(
-                shards_dev, *args, chunk, g_cap, g_cap_hits,
-                m_bucket, k, holder, dense)
-            head = (packed[:, :, : min(g_cap_hits, _HEAD_SLOTS)]
-                    if jax.process_count() == 1 else None)
-            return {"kind": "fused", "ids": ids, "args": args,
-                    "m_bucket": m_bucket, "cap": g_cap,
-                    "cap_hits": g_cap_hits, "dense": dense,
-                    "counts": counts, "packed": packed, "head": head}
-
-        for s in gstarts:
-            ids = short_idx[s:s + gsize]
-            gm = gsize if multi_group else len(ids)
-            # shared group packing (ops.multi.pack_motif_group): one
-            # fixed shape per multi-group scan, never-pass sentinels
-            # for padded slots, per-group bucket width, u16 filters --
-            # identical to MultiScanner's single-chip packing
-            g = multi.pack_motif_group(
-                ids, gm,
-                multi.group_bucket(int(lengths_all[ids].max()), rpb,
-                                   multi_group),
-                pssm_stack, thresholds, k)
-            m_pad = g["f_hi"].shape[1]
-            nv_g = np.zeros((1, m_pad), np.int32)
-            nv_g[0, : len(ids)] = np.maximum(
-                n - lengths_all[ids] + 1, 0)
-            args = (
-                None,
-                jnp.asarray(g["pssm"]),
-                jnp.asarray(g["th"]),
-                jnp.asarray(nv_g),
-                (jnp.asarray(g["f_hi"]), jnp.asarray(g["f_lo"])),
-            )
-            entries.append(launch_group(
-                ids, args, g["m_max"], cap, cap, False))
-
-    # dense path: exact f32 scoring + compaction per shard for motifs
-    # the prefilter cannot serve; motif lengths bucket
-    # (ops.multi.pack_dense_motif, shared with the single-chip dense
-    # path) so a whole database compiles at most one dense program per
-    # bucket -- n_i is a traced arg of _sharded_dense_impl
-    def launch_dense(i, dshards, pssm_dev, chunk_i, n_i, block_lanes,
-                     g_cap, dense):
-        counts, packed = _sharded_dense_impl(
-            dshards, pssm_dev, jnp.float32(thresholds[i]), chunk_i,
-            jnp.int32(n_i), g_cap, holder, dense, block_lanes)
-        head = (packed[:, :, : min(g_cap, _HEAD_SLOTS)]
-                if jax.process_count() == 1 else None)
-        return {"kind": "dense", "i": i, "dshards": dshards,
-                "pssm": pssm_dev, "chunk": chunk_i, "n_i": n_i,
-                "block_lanes": block_lanes, "cap": g_cap,
-                "dense": dense, "counts": counts, "packed": packed,
-                "head": head}
-
-    dense_shards = {}
-    for i in dense_idx:
-        i = int(i)
-        m_i = int(lengths_all[i])
-        n_i = max(n - m_i + 1, 0)
-        if n_i == 0:
-            continue
-        pssm_pad, m_b = multi.pack_dense_motif(pssms[i].data, k)
-        unit, halo, block_lanes = _halo_unit(m_b, pad_unit)
-        # chunk (shard ownership) must come from the TRUE motif length:
-        # sizing it from the bucketed m_b loses the last m_b - m_i
-        # window starts whenever the rounding slack is smaller, and two
-        # buckets can share a halo, so the cache key includes chunk
-        chunk_i = _chunk_for(n_i, n_dev, unit)
-        geom = (unit, halo, chunk_i)
-        if geom not in dense_shards:
-            shards0, chunk0, _ = shard_sequence(
-                encoded, n_dev, m_i, wildcard, pad_multiple=unit,
-                halo=halo)
-            assert chunk0 == chunk_i
-            dense_shards[geom] = _put_sharded(shards0, mesh)
-        entries.append(launch_dense(
-            i, dense_shards[geom], jnp.asarray(pssm_pad), chunk_i,
-            n_i, block_lanes, cap, False))
-
-    # every (group x dense-motif) device program is now in flight
-    # back-to-back; ONE host round trip fetches all counters (+ hit
-    # heads in single-process mode) -- the mesh mirror of
-    # MultiScanner's dispatch()/fetch() split.  Entries whose
-    # capacities overflowed retry individually.
-    if not entries:
-        return []
-    batch = jax.device_get([(e["counts"], e["head"]) for e in entries])
-    for e, (counts_h, head_h) in zip(entries, batch):
-        fused = e["kind"] == "fused"
-        while True:
-            counts_h = np.asarray(counts_h)  # [n_dev, 4] / [n_dev, 3]
-            count = int(counts_h[:, 0].max(initial=0))
-            hit_need = (int(counts_h[:, 1].max(initial=0))
-                        if fused else 0)
-            all_valid = bool(counts_h[:, 3 if fused else 2]
-                             .min(initial=1))
-            g_cap = e["cap"]
-            g_cap_hits = e["cap_hits"] if fused else g_cap
-            if count <= g_cap and hit_need <= g_cap_hits and all_valid:
-                break
-            if count > g_cap:
-                g_cap = max(g_cap, 1 << (count - 1).bit_length())
-            if hit_need > g_cap_hits:
-                g_cap_hits = max(
-                    g_cap_hits, 1 << (hit_need - 1).bit_length())
-            if fused:
-                e = launch_group(e["ids"], e["args"], e["m_bucket"],
-                                 g_cap, g_cap_hits, True)
-            else:
-                e = launch_dense(e["i"], e["dshards"], e["pssm"],
-                                 e["chunk"], e["n_i"],
-                                 e["block_lanes"], g_cap, True)
-            counts_h, head_h = jax.device_get((e["counts"], e["head"]))
-        kept_col = 2 if fused else 1
-        ids_arr = np.asarray(e["ids"]) if fused else None
-        for shard in e["packed"].addressable_shards:
-            d = shard.index[0].start or 0
-            n_kept = int(counts_h[d, kept_col])
-            if not n_kept:
-                continue
-            if head_h is not None and n_kept <= head_h.shape[2]:
-                arr = np.asarray(head_h[d, :, :n_kept])
-            else:
-                arr = np.asarray(shard.data)[0, :, :n_kept]
-            if fused:
-                gids = ids_arr[np.minimum(arr[1], len(ids_arr) - 1)]
-                for p, mo, sb in zip(arr[0], gids,
-                                     arr[2].view(np.float32)):
-                    hits.append(MultiHit(int(mo), int(p), float(sb)))
-            else:
-                for p, sb in zip(arr[0], arr[1].view(np.float32)):
-                    hits.append(MultiHit(e["i"], int(p), float(sb)))
-
-    hits.sort(key=lambda h: (h.motif, h.position))
-    return hits
+    return ShardedMultiScanner(
+        pssms, thresholds=thresholds, mesh=mesh, cap=cap,
+        pad_unit=pad_unit).scan(encoded)
 
 
 class ShardedScanner:

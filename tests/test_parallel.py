@@ -327,3 +327,57 @@ def test_sharded_dense_bucket_shares_one_compile(monkeypatch):
         got = [(h.position, h.score) for h in hits if h.motif == i]
         assert got == [(p, float(np.float32(s)))
                        for p, s in enumerate(host)]
+
+
+def test_sharded_multi_scanner_reuses_packed_db(monkeypatch):
+    """ShardedMultiScanner packs the motif DB once and scans many
+    genomes: per-genome results equal fresh sharded_multi_scan calls,
+    the packed group device arrays are reused across binds, and the
+    capacity ratchet is sticky."""
+    import numpy as np
+
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel import (
+        ShardedMultiScanner, make_genome_mesh, sharded_multi_scan)
+    from lightmotif_tpu.scanner import MultiScanner
+
+    monkeypatch.setattr(MultiScanner, "DENSE_M_LIMIT", 16)
+    rng = np.random.default_rng(21)
+    pssms = []
+    for m in (8, 10, 33):  # fused, fused, dense routes
+        sites = ["".join("ACTG"[j] for j in rng.integers(0, 4, size=m))
+                 for _ in range(4)]
+        pssms.append(CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites
+        ).to_freq(0.1).to_weight(None).to_scoring())
+    ths = [-5.0, -5.0, float(np.float32(-1e30))]
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        mesh2 = make_genome_mesh(jax.devices()[:2])
+        sc = ShardedMultiScanner(pssms, thresholds=ths, mesh=mesh2,
+                                 pad_unit=64, cap=64)
+        packed_before = [g["pssm"] for g in sc._groups] + [
+            d["pssm"] for d in sc._dense]
+        for seed in (1, 2):
+            genome = np.random.default_rng(seed).integers(
+                0, 4, size=500, dtype=np.int8)
+            got = [(h.motif, h.position, h.score)
+                   for h in sc.scan(genome)]
+            want = [(h.motif, h.position, h.score)
+                    for h in sharded_multi_scan(
+                        pssms, genome, ths, mesh=mesh2, pad_unit=64,
+                        cap=64)]
+            assert got == want and want
+        packed_after = [g["pssm"] for g in sc._groups] + [
+            d["pssm"] for d in sc._dense]
+        assert all(a is b for a, b in zip(packed_before, packed_after))
+        # the -1e30 dense threshold keeps every window: cap=64 must
+        # have ratcheted, and the ratchet survives binds
+        key = ("dense", 2)
+        assert sc._group_state[key][0] > 64
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
