@@ -274,7 +274,7 @@ def score_multi_u8(seq: jax.Array, dms: jax.Array, lengths: jax.Array,
 
 
 def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
-                  motif_ids: jax.Array) -> jax.Array:
+                  motif_ids: jax.Array, n_live=None) -> jax.Array:
     """Exact f32 scores for (position, motif) candidate pairs.
 
     ``pssms``: f32 ``[M, m_max, K]`` (zero-padded rows add 0.0 exactly);
@@ -284,6 +284,14 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     *own* motif (``p <= lp - m_i``) scores exactly even when
     ``p > lp - m_max``: a shorter motif's zero-padded rows contribute
     0.0 whatever symbol the clipped index reads.
+
+    ``n_live`` (traced scalar, optional): number of LIVE leading
+    entries; the rest are compaction sentinels the caller masks out
+    anyway.  When given, the blocked path loops only over blocks that
+    contain live pairs (``lax.fori_loop`` with a traced trip count),
+    so device cost scales with the actual pair count instead of the
+    static capacity the retry ratchet may have pinned far higher
+    (dead entries return 0.0 instead of a clipped-garbage score).
     """
     m_max = pssms.shape[1]
     k = pssms.shape[2]
@@ -319,9 +327,23 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
         [positions, jnp.zeros((pad,), positions.dtype)])
     mo_p = motif_ids if not pad else jnp.concatenate(
         [motif_ids, jnp.zeros((pad,), motif_ids.dtype)])
-    out = jax.lax.map(
-        block, (pos_p.reshape(-1, blk), mo_p.reshape(-1, blk)))
-    return out.reshape(-1)[:cap]
+    if n_live is None:
+        out = jax.lax.map(
+            block, (pos_p.reshape(-1, blk), mo_p.reshape(-1, blk)))
+        return out.reshape(-1)[:cap]
+    n_blk = cap_pad // blk
+    live = jnp.minimum(
+        (n_live.astype(jnp.int32) + blk - 1) // blk, n_blk)
+
+    def body(i, out):
+        pos_b = jax.lax.dynamic_slice(pos_p, (i * blk,), (blk,))
+        mo_b = jax.lax.dynamic_slice(mo_p, (i * blk,), (blk,))
+        return jax.lax.dynamic_update_slice(
+            out, block((pos_b, mo_b)), (i * blk,))
+
+    out = jax.lax.fori_loop(
+        0, live, body, jnp.zeros((cap_pad,), jnp.float32))
+    return out[:cap]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -485,10 +507,26 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         cap_pad = -(-cap // blk) * blk
         pos_pad = pos_idx if cap_pad == cap else jnp.concatenate(
             [pos_idx, jnp.full((cap_pad - cap,), chunk_len, pos_idx.dtype)])
-        words, pairs_blk = jax.lax.map(
-            phase_c, pos_pad.reshape(cap_pad // blk, blk))
-        words = words.reshape(cap_pad, n_words)[:cap]
-        pairs_total = jnp.sum(pairs_blk)
+        # candidates are front-compacted, so blocks past
+        # ceil(pos_count / blk) hold only sentinels (words 0, count 0):
+        # loop over LIVE blocks only, and device cost tracks the actual
+        # candidate count instead of the ratcheted static capacity
+        n_blk = cap_pad // blk
+        live = jnp.minimum(
+            (pos_count.astype(jnp.int32) + blk - 1) // blk, n_blk)
+
+        def pc_body(i, carry):
+            words_acc, pairs = carry
+            pos_b = jax.lax.dynamic_slice(pos_pad, (i * blk,), (blk,))
+            wrds, cnt = phase_c(pos_b)
+            words_acc = jax.lax.dynamic_update_slice(
+                words_acc, wrds, (i * blk, 0))
+            return words_acc, pairs + cnt
+
+        words, pairs_total = jax.lax.fori_loop(
+            0, live, pc_body,
+            (jnp.zeros((cap_pad, n_words), jnp.int32), jnp.int32(0)))
+        words = words[:cap]
     else:
         words, pairs_total = phase_c(pos_idx)
 
@@ -537,7 +575,8 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     positions = wpos[rows]
     motif_ids = jnp.minimum(wword[rows] * bpw + pair_idx % bpw, mcount - 1)
 
-    fscores = rescore_multi(chunk, pssms, positions, motif_ids)
+    fscores = rescore_multi(chunk, pssms, positions, motif_ids,
+                            n_live=pair_count)
     keep = (
         (pair_idx < flat.shape[0])
         & (positions < n_valid_here[0, motif_ids])
@@ -585,7 +624,8 @@ def scan_multi_segment(seq, off, n_valid_here, dms, pssms, lengths,
     mcount = dms.shape[0]
     positions = (idx // mcount).astype(jnp.int32)
     motif_ids = (idx % mcount).astype(jnp.int32)
-    fscores = rescore_multi(chunk, pssms, positions, motif_ids)
+    fscores = rescore_multi(chunk, pssms, positions, motif_ids,
+                            n_live=count)
     keep = (
         (idx < mask.shape[0])
         & (positions < n_valid_here[jnp.minimum(motif_ids, mcount - 1)])
