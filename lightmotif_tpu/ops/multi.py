@@ -117,6 +117,42 @@ def fine_thresholds(thresholds, factor, offset):
     ).astype(np.int64)
 
 
+def unreachable_thresholds(pssm_stack, thresholds):
+    """Boolean ``[M]``: thresholds provably no window can reach.
+
+    A finite threshold above every achievable window score still maps
+    to a *reachable* u16 threshold (see :func:`fine_thresholds`), so
+    saturated windows -- every perfect consensus match -- pass the
+    fused filter and die only at the exact rescore.  Real databases
+    make this expensive: short JASPAR motifs (m <= 6) cannot reach a
+    p <= 1e-6 threshold at all, yet each one's ~L/4^m perfect windows
+    flood the candidate/pair stages (~1M false pairs on E. coli,
+    measured).  This predicate lets the packer fold such motifs to the
+    never-pass guard instead.
+
+    Soundness: the bound is the f64 sum of per-row maxima over ALL
+    columns (wildcard included -- sequences may contain wildcards)
+    plus an upper bound on f32 sequential-summation rounding
+    (m roundings, each < 2^-24 relative of a partial sum bounded by
+    the sum of absolute row maxima), so no achievable f32 window score
+    can exceed it.  Only thresholds STRICTLY above bound + margin are
+    marked unreachable.
+    """
+    x = np.asarray(pssm_stack, np.float64)
+    m = x.shape[1] or 1
+    row_max = x.max(axis=2) if x.shape[2] else np.full(x.shape[:2], -np.inf)
+    bound = row_max.sum(axis=1)
+    t = np.asarray(thresholds, np.float64)
+    finite_bound = np.isfinite(bound)
+    with np.errstate(invalid="ignore"):
+        mag = np.where(np.isfinite(row_max), np.abs(row_max), 0.0).sum(axis=1)
+        margin = mag * m * 2.0 ** -23
+        above = t > bound + margin
+    # bound -inf (some row is all -inf): every window scores -inf, any
+    # finite threshold is unreachable
+    return np.isfinite(t) & np.where(finite_bound, above, True)
+
+
 def pack_filters_fine(data16, t16, k: int):
     """Hi/lo byte filter pair for the phase-C u16 refined test.
 
@@ -189,6 +225,10 @@ def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
     pssm_g[: len(ids), :mw] = pssm_stack[ids][:, :mw]
     d16, f16, off16 = fine_discretize(pssm_g)
     t16 = fine_thresholds(th_g, f16, off16)
+    # provably-unreachable thresholds (short motifs at tight p-values)
+    # fold to the never-pass sentinel: their perfect-match windows
+    # would otherwise saturate the u16 filter and flood the pair stages
+    t16 = np.where(unreachable_thresholds(pssm_g, th_g), 65536, t16)
     f_hi, f_lo = pack_filters_fine(d16, t16, k)
     return {
         "f_hi": f_hi,

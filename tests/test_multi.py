@@ -744,6 +744,57 @@ def test_fused_u16_wildcard_above_body_max_soundness():
     assert got == want
 
 
+def test_unreachable_threshold_folds_to_never_pass():
+    """Short motifs at tight p-values get thresholds NO window can
+    reach; the packer must fold them to the never-pass guard (their
+    perfect-consensus windows would otherwise saturate the u16 filter
+    and flood the pair stages -- ~1M false pairs on a whole-JASPAR
+    E. coli scan), while keeping exactly-reachable thresholds live."""
+    from lightmotif_tpu.alphabet import DNA
+    from lightmotif_tpu.matrix import ScoringMatrix
+    from lightmotif_tpu.ops import kernels, multi
+
+    data = np.asarray([
+        [2.0, -3.0, -3.0, -3.0, 0.0],
+        [-1.0, 3.0, -1.0, -1.0, 0.0],
+        [-2.0, -2.0, 1.0, -2.0, 0.0],
+    ], np.float32)
+    pssm = ScoringMatrix(DNA, data)
+    best = float(np.float32(np.float32(2.0) + np.float32(3.0))
+                 + np.float32(1.0))  # sequential f32 max window score
+
+    un = multi.unreachable_thresholds(
+        data[None].repeat(4, axis=0),
+        np.asarray([best, best + 0.1, np.inf, -np.inf]))
+    assert un.tolist() == [False, True, False, False]
+
+    # all--inf row: any finite threshold is unreachable
+    dinf = data.copy()
+    dinf[1] = -np.inf
+    assert multi.unreachable_thresholds(
+        dinf[None], np.asarray([-100.0]))[0]
+
+    # end-to-end: an unreachable-threshold motif contributes no hits
+    # and no candidates, a reachable one keeps its exact hit set
+    reach = ScoringMatrix(DNA, data)
+    seq = EncodedSequence.encode("ACTACGACTACT")
+    want = sorted((1, h.position, h.score)
+                  for h in Scanner(reach, seq, threshold=best))
+    assert want, "no perfect-match hit; test setup is wrong"
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        got = sorted(
+            (h.motif, h.position, h.score)
+            for h in MultiScanner(
+                [pssm, reach], seq,
+                [best + 0.1, best]).collect())
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    assert got == want
+
+
 def test_dense_bucket_shares_one_compile(monkeypatch):
     """Two long motifs whose lengths share a 32-row dense bucket run
     ONE compiled dense program: the true valid-window count is traced
