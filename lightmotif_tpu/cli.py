@@ -191,6 +191,7 @@ def _scan_all(motifs, seq, args, cache=None):
 
 
 def main(argv=None) -> int:
+    t_main = time.perf_counter()
     args = build_parser().parse_args(argv)
     if args.compile_cache:
         from .utils.cache import enable_persistent_cache
@@ -201,10 +202,12 @@ def main(argv=None) -> int:
     motifs = prepare_motifs(args)
     if not args.quiet:
         lens = [len(j.pssm) for j in motifs]
+        prep = time.perf_counter() - t_main
         print(
-            f"Loaded {len(motifs)} matrices (M={min(lens)}..{max(lens)})"
+            f"[{prep:8.2f}s] loaded {len(motifs)} matrices "
+            f"(M={min(lens)}..{max(lens)})"
             if motifs
-            else "Loaded 0 matrices",
+            else f"[{prep:8.2f}s] loaded 0 matrices",
             file=sys.stderr,
         )
 

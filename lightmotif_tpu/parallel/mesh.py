@@ -484,14 +484,20 @@ class ShardedMultiScanner:
         self._group_state = {}  # sticky per-group / per-dense ratchets
 
         # per-motif routing: fused two-pass prefilter where it is sound
-        # and supported, exact dense scoring everywhere else
+        # and supported, exact dense scoring everywhere else; motifs
+        # with provably-unreachable thresholds contribute zero hits by
+        # construction and pack into no path at all (same pruning as
+        # MultiScanner._dispatch_raw)
+        stack_all, _ = multi.stack_motifs(
+            [np.asarray(p.data, np.float32) for p in self.pssms], k)
+        live = ~multi.unreachable_thresholds(stack_all, self.thresholds)
         fusable = np.asarray([
             m <= MultiScanner.dense_m_limit(k)
             and multi_kernel.supports_fused(int(m), k, 1)
             for m in self.lengths
         ])
-        short_idx = np.nonzero(fusable)[0]
-        dense_idx = np.nonzero(~fusable)[0]
+        short_idx = np.nonzero(fusable & live)[0]
+        dense_idx = np.nonzero(~fusable & live)[0]
         # length-sorted groups: each group's contraction-block bucket
         # (and the per-pair rescore width) matches its own longest motif
         short_idx = short_idx[np.argsort(self.lengths[short_idx],
@@ -507,8 +513,7 @@ class ShardedMultiScanner:
             # both fused passes run at u16 resolution
             # (pack_motif_group), so no u8 discretization is needed on
             # this path at all; shared packing with MultiScanner
-            pssm_stack, _ = multi.stack_motifs(
-                [np.asarray(p.data, np.float32) for p in self.pssms], k)
+            pssm_stack = stack_all
             rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
             self._m_min = int(self.lengths[short_idx].min())
             for s in gstarts:

@@ -487,17 +487,25 @@ class MultiScanner:
         # path) is both exact and faster.  The fused prefilter then
         # only needs to cover the short subset.
         long_sel = self.lengths > self.dense_m_limit(k)
-        short_idx = np.nonzero(~long_sel)[0]
+        # motifs whose thresholds provably no window reaches contribute
+        # zero hits by construction: drop them from packing entirely --
+        # on JASPAR2024 at p<=1e-6 this halves the motif groups (57% of
+        # the database is short motifs that cannot reach the threshold)
+        # and skips their dense dispatches
+        live_sel = ~multi.unreachable_thresholds(
+            self.pssm_stack, self.thresholds)
+        short_idx = np.nonzero(~long_sel & live_sel)[0]
         m_short = int(self.lengths[short_idx].max()) if short_idx.size \
             else 0
         fused = short_idx.size > 0 and multi_kernel.supports_fused(
             m_short, k, int(short_idx.size))
-        dense_idx = np.nonzero(long_sel)[0] if fused else \
+        dense_idx = np.nonzero(long_sel & live_sel)[0] if fused else \
             np.zeros(0, np.int64)
         if not fused and short_idx.size == 0 and mcount:
-            # every motif is long: dense path alone (no windows pass)
+            # every live motif is long (or none is live): dense path
+            # alone (no windows pass)
             fused = True
-            dense_idx = np.arange(mcount)
+            dense_idx = np.nonzero(live_sel)[0]
             short_idx = np.zeros(0, np.int64)
         # the fused any-prefilter materializes one int32 per position
         # (plus bounded [cap, M] stages); the windows path materializes

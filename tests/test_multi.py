@@ -495,6 +495,38 @@ def test_motif_group_batching(genome, monkeypatch):
     assert want and got == want
 
 
+def test_unreachable_motifs_pruned_from_groups(genome, monkeypatch):
+    """Unreachable-threshold motifs pack into NO group (they contribute
+    zero hits by proof): a database where half the motifs cannot reach
+    their thresholds packs half the groups, with identical hits."""
+    from lightmotif_tpu.ops import kernels
+
+    motifs = make_motifs() + [p.reverse_complement()
+                              for p in make_motifs()]
+    ths = [-10.0, 1e9, -5.0, 1e9, 1e9, -3.0]
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        monkeypatch.setattr(MultiScanner, "GROUP_MOTIFS", 3)
+        ms = MultiScanner(motifs, genome, ths)
+        got = [(h.motif, h.position, h.score) for h in ms.collect()]
+        # only the 3 reachable motifs packed: one group, not two
+        assert len(ms._dev["groups"]) == 1
+        assert sorted(ms._dev["groups"][0]["ids"].tolist()) == [0, 2, 5]
+        want = sorted(
+            (i, h.position, h.score)
+            for i in (0, 2, 5)
+            for h in Scanner(motifs[i], genome, threshold=ths[i]))
+        assert got == want and got
+
+        # every threshold unreachable: no groups, no dispatches, no hits
+        ms2 = MultiScanner(motifs, genome, [1e9] * 6)
+        assert ms2.collect() == []
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+
+
 @pytest.mark.parametrize("dense_limit", [None, 64])
 def test_long_motif_edge_cases(genome, monkeypatch, dense_limit):
     """Long-motif (m=80) edge cases on BOTH routes: the default

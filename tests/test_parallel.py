@@ -150,6 +150,53 @@ def test_sharded_multi_scan_matches_single(genome_mesh=None):
     assert a == b
 
 
+def test_sharded_multi_scan_prunes_unreachable():
+    """Mesh path mirrors MultiScanner's pruning: unreachable-threshold
+    motifs pack into no group and contribute no hits; an all-
+    unreachable set scans to empty without dispatching anything."""
+    import numpy as np
+
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.parallel import make_genome_mesh
+    from lightmotif_tpu.parallel.mesh import ShardedMultiScanner
+    from lightmotif_tpu.scanner import Scanner
+
+    rng = np.random.default_rng(33)
+    motifs = []
+    for width in (8, 14):
+        sites = [
+            "".join("ACTG"[j] for j in rng.integers(0, 4, size=width))
+            for _ in range(5)
+        ]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    genome = rng.integers(0, 4, size=60_000, dtype=np.int8)
+    seq = EncodedSequence(genome.astype(np.uint8))
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        mesh = make_genome_mesh()
+        sm = ShardedMultiScanner(motifs, thresholds=[-6.0, 1e9],
+                                 mesh=mesh)
+        assert len(sm._groups) == 1 and sm._groups[0]["ids"].tolist() \
+            == [0]
+        got = [(h.motif, h.position, h.score)
+               for h in sm.scan(genome)]
+        want = sorted((0, h.position, h.score)
+                      for h in Scanner(motifs[0], seq, threshold=-6.0))
+        assert got == want and got
+        empty = ShardedMultiScanner(motifs, thresholds=[1e9, 1e9],
+                                    mesh=mesh)
+        assert not empty._groups and not empty._dense
+        assert empty.scan(genome) == []
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+
+
 def test_halo_unit_clamps_block_for_long_motifs():
     """Regression: the shard-body kernel block must shrink with motif
     length exactly like the single-chip default (score_f32's
