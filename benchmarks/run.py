@@ -619,10 +619,30 @@ def bench_meshone(ctx):
            f"plain {t_plain:.3f}s vs mesh {t_mesh:.3f}s, identical hits")
 
 
+#: ``python -c`` shim that runs the CLI module and reports the child's
+#: OWN peak RSS on stderr.  ``getrusage(RUSAGE_CHILDREN)`` in the bench
+#: process is a max over EVERY child it ever spawned, so a subset run
+#: that did clifull first would misattribute clifull's 2.5 GB of host
+#: motif prep to clistream's flat-memory claim.
+_CLI_SHIM = (
+    "import atexit, json, resource, runpy, sys\n"
+    "atexit.register(lambda: print(json.dumps({'event': 'rss', 'max_mb':"
+    " resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024}),"
+    " file=sys.stderr))\n"
+    "runpy.run_module('lightmotif_tpu.cli', run_name='__main__')\n"
+)
+
+
+def _cli_rss_mb(stderr: str):
+    for line in stderr.splitlines():
+        if '"event": "rss"' in line:
+            return json.loads(line)["max_mb"]
+    return None
+
+
 def bench_clistream(ctx):
     """>32 MB multi-record FASTA through the streaming CLI: wall time
     and peak RSS (must stay flat regardless of file size)."""
-    import resource
     import subprocess
     import tempfile
 
@@ -642,7 +662,7 @@ def bench_clistream(ctx):
             body = b"".join(lut[rng.integers(0, 4, size=rec_len)]).decode()
             fh.write(f">r{i}\n{body}\n")
     out = os.path.join(d, "hits.tsv")
-    cmd = [sys.executable, "-m", "lightmotif_tpu.cli", "-m", mot,
+    cmd = [sys.executable, "-c", _CLI_SHIM, "-m", mot,
            "--format", "jaspar16", "-s", fa, "-o", out, "-q",
            "--abs-threshold", "8"]
     # cold run = fresh compile cache (reproducible, no stale entries);
@@ -650,7 +670,7 @@ def bench_clistream(ctx):
     # AOT-compiled binary which never pays a JIT.
     env = dict(os.environ)
     env["LIGHTMOTIF_TPU_COMPILE_CACHE"] = os.path.join(d, "xla-cache")
-    timing, walls, n_hits = {}, [], 0
+    timing, walls, n_hits, rss_mb = {}, [], 0, 0.0
     for run in ("cold", "warm"):
         t0 = time.perf_counter()
         proc = subprocess.run(cmd, env=env, stderr=subprocess.PIPE, text=True)
@@ -660,11 +680,11 @@ def bench_clistream(ctx):
         for line in proc.stderr.splitlines():
             if '"event": "cli_timing"' in line:
                 timing[run] = json.loads(line)
+        rss_mb = max(rss_mb, _cli_rss_mb(proc.stderr) or 0.0)
         with open(out) as fh:
             n = sum(1 for _ in fh) - 1
         assert run == "cold" or n == n_hits, (n, n_hits)
         n_hits = n
-    rss_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
     steady = timing["cold"].get("steady_mbp_s")
     record("clistream", f"CLI: {n_rec} records x {rec_len} bp (~35 MB)",
            steady if steady is not None else round(walls[0], 1),
