@@ -182,6 +182,7 @@ def _scan_all(motifs, seq, args, cache=None):
         scanner = MultiScanner(
             [p for _, _, p in strands],
             thresholds=[job.threshold for job, _, _ in strands],
+            single_bucket=True,  # one compiled program per run
         )
         if cache is not None:
             cache["single"] = scanner
@@ -259,6 +260,7 @@ def main(argv=None) -> int:
                 batch_scanner = MultiBatchScanner(
                     [p for _, _, p in strands],
                     thresholds=[job.threshold for job, _, _ in strands],
+                    single_bucket=True,  # one compiled program per run
                 )
             return batch_scanner.prepare(seqs, pad_to)
 

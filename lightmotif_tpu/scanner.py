@@ -334,12 +334,22 @@ class MultiScanner:
     """
 
     def __init__(self, pssms, seq=None, thresholds=0.0,
-                 capacity: int = DEFAULT_CAPACITY):
+                 capacity: int = DEFAULT_CAPACITY,
+                 single_bucket: bool = False):
         from .ops import multi
 
         self.pssms = list(pssms)
         if not self.pssms:
             raise ValueError("no motifs given")
+        #: bucket every motif group to ONE shared contraction width
+        #: (the longest live motif) so a whole-database scan compiles a
+        #: single fused program instead of one per length bucket.
+        #: Per-scan device cost rises ~1.5x for the short groups, but a
+        #: one-shot consumer (the CLI) saves one 10-60 s remote
+        #: compile/load per extra program -- the dominant cold/warm
+        #: wall on a tunneled chip.  Library users who rescan genomes
+        #: keep the per-length buckets (default).
+        self.single_bucket = bool(single_bucket)
         k = self.pssms[0].alphabet.size
         self.dms = [p.to_discrete() for p in self.pssms]
         self.pssm_stack, self.lengths = multi.stack_motifs(
@@ -361,7 +371,14 @@ class MultiScanner:
         self._dseq = None
         self._bound = None  # identity of the bound host sequence
         self._scan_data = None
-        self._dense = False
+        # seed the compaction mode at dense=True: the hierarchical
+        # path overflows for essentially every database-scale group
+        # (candidates spread over the whole genome), so the dense=False
+        # program was compiled once, used once, and retried -- one
+        # wasted 30-60 s remote compile plus a round trip per shape.
+        # The dense path (cumsum + searchsorted k-th-set-bit) is ~1 ms
+        # at the default capacity and always valid.
+        self._dense = True
         self._group_state = {}  # per-motif-group (cap, dense) ratchets
         if seq is not None:
             self.bind(seq)
@@ -557,12 +574,15 @@ class MultiScanner:
                     # own bucket width (>= every group motif, << the
                     # database maximum): the prefilter's block count,
                     # the phase-C window matmul, and the rescore row
-                    # loop all pay only this group's length
+                    # loop all pay only this group's length.  With
+                    # single_bucket every group shares the global live
+                    # maximum so ONE compiled program serves them all.
+                    m_bkt = int(self.lengths[short_idx].max()) \
+                        if self.single_bucket \
+                        else int(self.lengths[ids].max())
                     g = multi.pack_motif_group(
                         ids, gm,
-                        multi.group_bucket(
-                            int(self.lengths[ids].max()), rpb,
-                            multi_group),
+                        multi.group_bucket(m_bkt, rpb, multi_group),
                         self.pssm_stack, self.thresholds, k)
                     dev["groups"].append({
                         "ids": ids,

@@ -495,6 +495,31 @@ def test_motif_group_batching(genome, monkeypatch):
     assert want and got == want
 
 
+def test_single_bucket_identical_hits(genome, monkeypatch):
+    """single_bucket=True (the CLI's one-program mode) buckets every
+    group to the global live maximum: identical hits, one shared
+    m_max across groups."""
+    from lightmotif_tpu.ops import kernels
+
+    motifs = make_motifs() + [p.reverse_complement()
+                              for p in make_motifs()]
+    ths = [-10.0, -3.0, -5.0] * 2
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        monkeypatch.setattr(MultiScanner, "GROUP_MOTIFS", 2)
+        want = [(h.motif, h.position, h.score)
+                for h in MultiScanner(motifs, genome, ths).collect()]
+        ms = MultiScanner(motifs, genome, ths, single_bucket=True)
+        got = [(h.motif, h.position, h.score) for h in ms.collect()]
+        m_maxes = {g["m_max"] for g in ms._dev["groups"]}
+        assert len(m_maxes) == 1
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    assert want and got == want
+
+
 def test_unreachable_motifs_pruned_from_groups(genome, monkeypatch):
     """Unreachable-threshold motifs pack into NO group (they contribute
     zero hits by proof): a database where half the motifs cannot reach
