@@ -747,8 +747,10 @@ def bench_clifull(ctx):
            round(walls[1], 1), "s",
            f"{n_hits} hits (+:{strands['+']} -:{strands['-']}) == the "
            "library jasparfull scan's 71730 at the same thresholds; "
-           f"cold wall {walls[0]:.1f} s (first-ever run: XLA compiles + "
-           "host motif prep ~20 s); warm is the every-later-run cost")
+           f"cold wall {walls[0]:.1f} s (first-ever run: one remote XLA "
+           "compile dominates; host motif prep is ~2 s); warm is the "
+           "every-later-run cost (jax/tunnel init + cached-program "
+           "load + the 0.7 s scan)")
 
 
 WORKLOADS = {
