@@ -647,8 +647,11 @@ class ShardedMultiScanner:
 
         entries = []
         for gi, grp in enumerate(self._groups):
+            # dense compaction from the start, like MultiScanner: the
+            # hierarchical first attempt overflows for database-scale
+            # groups and would recompile the shard program dense anyway
             g_cap, g_cap_hits, dense = self._group_state.get(
-                gi, (self.cap, self.cap, False))
+                gi, (self.cap, self.cap, True))
             e = launch_group(grp, st["nv"][gi], g_cap, g_cap_hits,
                              dense)
             e["gi"] = gi
