@@ -1,0 +1,29 @@
+"""jasparfull full-rep wall vs PHASE_C_BLOCK / RESCORE_BLOCK sizes."""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+from lightmotif_tpu import load, EncodedSequence
+from lightmotif_tpu.ops import multi
+from lightmotif_tpu.scanner import MultiScanner
+
+pc = int(sys.argv[1]) if len(sys.argv) > 1 else multi.PHASE_C_BLOCK
+rs = int(sys.argv[2]) if len(sys.argv) > 2 else multi.RESCORE_BLOCK
+multi.PHASE_C_BLOCK = pc
+multi.RESCORE_BLOCK = rs
+
+JASPAR2024 = "/root/reference/lightmotif-io/benches/JASPAR2024.meme"
+fwd = [m.pssm for m in load(JASPAR2024, format="meme") if m.pssm is not None]
+ths = [p.score_distribution().score(1e-6) for p in fwd]
+pssms = fwd + [p.reverse_complement() for p in fwd]
+rng = np.random.default_rng(0xECC011)
+seq = EncodedSequence(
+    rng.integers(0, 4, size=4_641_652, dtype=np.int8).astype(np.uint8))
+ms = MultiScanner(pssms, thresholds=ths + ths)
+mo, _, _ = ms.scan_arrays(seq)
+best = np.inf
+for _ in range(4):
+    t0 = time.perf_counter(); ms.scan_arrays(seq)
+    best = min(best, time.perf_counter() - t0)
+print(f"PHASE_C_BLOCK={pc} RESCORE_BLOCK={rs}: "
+      f"best {best:.3f} s, {len(mo)} hits", flush=True)

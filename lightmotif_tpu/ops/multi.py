@@ -29,13 +29,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: Candidate positions per sparse per-motif block (bounds the
+#: Candidate positions per sparse per-motif block.  Bounds the
 #: [block, M] intermediates regardless of how far the exact-count
-#: retry ratchets the candidate capacity).
-PHASE_C_BLOCK = 1 << 16
+#: retry ratchets the candidate capacity -- AND sets the work
+#: granularity of the live-block loop: per-group device cost is
+#: ceil(live / block) * block, so small blocks track the actual
+#: candidate count closely.  Swept on whole-JASPAR x 2 strands
+#: (experiments/block_size_probe.py): 65536 -> 0.69 s, 16384 ->
+#: 0.44 s, 4096 -> 0.39 s, 2048 -> 0.39 s (plateau); 4096 keeps the
+#: degenerate tens-of-millions-of-pairs ratchets at thousands (not
+#: tens of thousands) of loop iterations.
+PHASE_C_BLOCK = 1 << 12
 
-#: Pairs per exact-rescore block (bounds the [blk, m_max] gathers).
-RESCORE_BLOCK = 1 << 16
+#: Pairs per exact-rescore block (bounds the [blk, m_max] gathers);
+#: same rounding-up-to-block live-loop granularity argument.
+RESCORE_BLOCK = 1 << 12
 
 __all__ = [
     "stack_motifs",
