@@ -569,7 +569,13 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
             wrds, cnt = phase_c(pos_b)
             words_acc = jax.lax.dynamic_update_slice(
                 words_acc, wrds, (i * blk, 0))
-            return words_acc, pairs + cnt
+            # saturate instead of wrapping int32: degenerate thresholds
+            # can pass billions of (position, motif) pairs, and a
+            # wrapped-negative total would skip the cap_hits retry and
+            # silently truncate hits.  Saturated totals ratchet
+            # cap_hits sky-high and hit the actionable OverflowError
+            # guard instead.
+            return words_acc, jnp.minimum(pairs + cnt, jnp.int32(1 << 30))
 
         words, pairs_total = jax.lax.fori_loop(
             0, live, pc_body,

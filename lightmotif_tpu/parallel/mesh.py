@@ -658,7 +658,7 @@ class ShardedMultiScanner:
             entries.append(e)
         for dn, dshards, chunk_i, n_i in st["dense"]:
             g_cap, _, dense = self._group_state.get(
-                ("dense", dn["i"]), (self.cap, self.cap, False))
+                ("dense", dn["i"]), (self.cap, self.cap, True))
             entries.append(launch_dense(dn, dshards, chunk_i, n_i,
                                         g_cap, dense))
         return {"entries": entries, "launch_group": launch_group,

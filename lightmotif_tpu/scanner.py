@@ -380,6 +380,7 @@ class MultiScanner:
         # at the default capacity and always valid.
         self._dense = True
         self._group_state = {}  # per-motif-group (cap, dense) ratchets
+        self._routing = None  # cached (fused, short_idx, dense_idx)
         if seq is not None:
             self.bind(seq)
 
@@ -497,33 +498,51 @@ class MultiScanner:
             raise ValueError(f"motif longer than the halo unit ({unit})")
         mcount = len(self.pssms)
         k = self.pssms[0].alphabet.size
-        # long motifs bypass the two-pass machinery entirely: the u8
-        # ceil over-estimate slack grows as ~m/255 of the score span,
-        # and by m ~ 100 nearly every position is a discrete candidate
-        # -- full exact f32 scoring + threshold compaction (the dense
-        # path) is both exact and faster.  The fused prefilter then
-        # only needs to cover the short subset.
-        long_sel = self.lengths > self.dense_m_limit(k)
-        # motifs whose thresholds provably no window reaches contribute
-        # zero hits by construction: drop them from packing entirely --
-        # on JASPAR2024 at p<=1e-6 this halves the motif groups (57% of
-        # the database is short motifs that cannot reach the threshold)
-        # and skips their dense dispatches
-        live_sel = ~multi.unreachable_thresholds(
-            self.pssm_stack, self.thresholds)
-        short_idx = np.nonzero(~long_sel & live_sel)[0]
-        m_short = int(self.lengths[short_idx].max()) if short_idx.size \
-            else 0
-        fused = short_idx.size > 0 and multi_kernel.supports_fused(
-            m_short, k, int(short_idx.size))
-        dense_idx = np.nonzero(long_sel & live_sel)[0] if fused else \
-            np.zeros(0, np.int64)
-        if not fused and short_idx.size == 0 and mcount:
-            # every live motif is long (or none is live): dense path
-            # alone (no windows pass)
-            fused = True
-            dense_idx = np.nonzero(live_sel)[0]
-            short_idx = np.zeros(0, np.int64)
+        if self._routing is None:
+            # fixed per scanner (pssms + thresholds are immutable):
+            # computed once, not per dispatch -- the streaming CLI
+            # dispatches once per flight and the reachability bound +
+            # length sort over a whole database cost ~1 ms each.
+            #
+            # Long motifs bypass the two-pass machinery entirely: the
+            # u8 ceil over-estimate slack grows as ~m/255 of the score
+            # span, and by m ~ 100 nearly every position is a discrete
+            # candidate -- full exact f32 scoring + threshold
+            # compaction (the dense path) is both exact and faster.
+            # The fused prefilter then only needs the short subset.
+            long_sel = self.lengths > self.dense_m_limit(k)
+            # motifs whose thresholds provably no window reaches
+            # contribute zero hits by construction: drop them from
+            # packing entirely -- on JASPAR2024 at p<=1e-6 this halves
+            # the motif groups (57% of the database is short motifs
+            # that cannot reach the threshold) and skips their dense
+            # dispatches
+            live_sel = ~multi.unreachable_thresholds(
+                self.pssm_stack, self.thresholds)
+            short_idx = np.nonzero(~long_sel & live_sel)[0]
+            m_short = int(self.lengths[short_idx].max()) \
+                if short_idx.size else 0
+            fused = short_idx.size > 0 and multi_kernel.supports_fused(
+                m_short, k, int(short_idx.size))
+            dense_idx = np.nonzero(long_sel & live_sel)[0] if fused \
+                else np.zeros(0, np.int64)
+            if not fused and short_idx.size == 0 and mcount:
+                # every live motif is long (or none is live): dense
+                # path alone (no windows pass)
+                fused = True
+                dense_idx = np.nonzero(live_sel)[0]
+                short_idx = np.zeros(0, np.int64)
+            # order the short subset by motif length so each group's
+            # contraction-block bucket (and with it the phase-C window
+            # gathers and the per-pair rescore width) matches its own
+            # longest motif
+            short_idx = short_idx[np.argsort(
+                self.lengths[short_idx], kind="stable")]
+            self._routing = {"fused": fused, "short_idx": short_idx,
+                             "dense_idx": dense_idx}
+        fused = self._routing["fused"]
+        short_idx = self._routing["short_idx"]
+        dense_idx = self._routing["dense_idx"]
         # the fused any-prefilter materializes one int32 per position
         # (plus bounded [cap, M] stages); the windows path materializes
         # [segment, M] i32 scores PLUS the [segment, m_max*K] bf16
@@ -547,14 +566,6 @@ class MultiScanner:
         # needs (at M in the thousands the union of candidate sets
         # saturates the genome and the [cap, M] stages blow past HBM)
         n_short = int(short_idx.size)
-        # order the short subset by motif length so each group's
-        # contraction-block bucket (and with it the phase-C window
-        # gathers and the per-pair rescore width) matches its own
-        # longest motif: most of a real database lands in m <= 16
-        # groups whose extraction runs ~3x cheaper than one bucketed
-        # at the global maximum
-        short_idx = short_idx[np.argsort(
-            self.lengths[short_idx], kind="stable")]
         gsize = min(self.GROUP_MOTIFS, n_short) if fused else mcount
         gstarts = list(range(0, n_short, gsize)) if gsize else []
         multi_group = len(gstarts) > 1
