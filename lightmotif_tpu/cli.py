@@ -167,6 +167,7 @@ def _scan_all(motifs, seq, args, cache=None):
             scanner = ShardedMultiScanner(
                 [p for _, _, p in strands],
                 thresholds=[job.threshold for job, _, _ in strands],
+                single_bucket=True,  # one compiled program per run
             )
             if cache is not None:
                 cache["mesh"] = scanner

@@ -463,7 +463,8 @@ class ShardedMultiScanner:
 
     def __init__(self, pssms, seq=None, thresholds=0.0,
                  mesh: Mesh | None = None, cap: int = 1 << 16,
-                 pad_unit: int | None = None):
+                 pad_unit: int | None = None,
+                 single_bucket: bool = False):
         from ..ops import multi, multi_kernel
         from ..scanner import MultiScanner
 
@@ -518,10 +519,14 @@ class ShardedMultiScanner:
             self._m_min = int(self.lengths[short_idx].min())
             for s in gstarts:
                 ids = short_idx[s:s + gsize]
+                # single_bucket: ONE compiled shard program serves the
+                # whole database (same trade as MultiScanner -- the
+                # CLI's one-shot walls are compile-count-bound)
+                m_bkt = int(self.lengths[short_idx].max()) \
+                    if single_bucket else int(self.lengths[ids].max())
                 g = multi.pack_motif_group(
                     ids, gsize if multi_group else len(ids),
-                    multi.group_bucket(int(self.lengths[ids].max()),
-                                       rpb, multi_group),
+                    multi.group_bucket(m_bkt, rpb, multi_group),
                     pssm_stack, self.thresholds, k)
                 self._groups.append({
                     "ids": ids,

@@ -192,6 +192,18 @@ def test_sharded_multi_scan_prunes_unreachable():
                                     mesh=mesh)
         assert not empty._groups and not empty._dense
         assert empty.scan(genome) == []
+
+        # single_bucket (the CLI's one-program mode): identical hits,
+        # one shared m_bucket across groups
+        sb = ShardedMultiScanner(motifs, thresholds=[-6.0, -6.0],
+                                 mesh=mesh, single_bucket=True)
+        assert len({g["m_bucket"] for g in sb._groups}) == 1
+        got_sb = [(h.motif, h.position, h.score)
+                  for h in sb.scan(genome)]
+        want_sb = sorted(
+            (i, h.position, h.score) for i, p in enumerate(motifs)
+            for h in Scanner(p, seq, threshold=-6.0))
+        assert got_sb == want_sb and got_sb
     finally:
         kernels.INTERPRET = False
         jax.clear_caches()
