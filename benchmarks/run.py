@@ -655,7 +655,12 @@ def bench_clistream(ctx):
             fh.write(f"{sym} [ " + " ".join(
                 str(v) for v in np.tile(row, 3)[:12]) + " ]\n")
     fa = os.path.join(d, "big.fa")
-    n_rec, rec_len = 7000, 5000  # ~35 MB of sequence
+    # ~100 MB = 6+ flights at the 16 MB default: the steady-state span
+    # covers several whole flights (a ~35 MB file left only one flight
+    # outside the startup window, so the steady figure swung 30-114
+    # Mbp/s with scheduling overlap), and flat RSS is demonstrated over
+    # 3x the former file size
+    n_rec, rec_len = 20000, 5000
     with open(fa, "w") as fh:
         lut = np.frombuffer(b"ACGT", dtype="S1")
         for i in range(n_rec):
@@ -686,7 +691,9 @@ def bench_clistream(ctx):
         assert run == "cold" or n == n_hits, (n, n_hits)
         n_hits = n
     steady = timing["cold"].get("steady_mbp_s")
-    record("clistream", f"CLI: {n_rec} records x {rec_len} bp (~35 MB)",
+    record("clistream",
+           f"CLI: {n_rec} records x {rec_len} bp "
+           f"(~{n_rec * rec_len // 10**6} MB)",
            steady if steady is not None else round(walls[0], 1),
            "Mbp/s steady" if steady is not None else "s",
            f"{n_hits} hits; cold wall {walls[0]:.1f} s = startup+compile "
