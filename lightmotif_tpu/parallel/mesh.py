@@ -654,9 +654,12 @@ class ShardedMultiScanner:
         for gi, grp in enumerate(self._groups):
             # dense compaction from the start, like MultiScanner: the
             # hierarchical first attempt overflows for database-scale
-            # groups and would recompile the shard program dense anyway
+            # groups and would recompile the shard program dense anyway.
+            # cap_hits seeds proportionally to the group's motif count
+            # (same rationale as MultiScanner._dispatch_raw)
+            seed_hits = self.cap * max(1, len(grp["ids"]) // 1024)
             g_cap, g_cap_hits, dense = self._group_state.get(
-                gi, (self.cap, self.cap, True))
+                gi, (self.cap, seed_hits, True))
             e = launch_group(grp, st["nv"][gi], g_cap, g_cap_hits,
                              dense)
             e["gi"] = gi

@@ -423,17 +423,19 @@ class MultiScanner:
     #: elements) so device memory stays bounded for big motif sets.
     MAX_SEGMENT_ELEMS = 128 * 1024 * 1024
 
-    #: Motifs per fused-prefilter pass.  Above ~1-2k motifs the union
-    #: of per-motif candidate sets saturates the genome (the
-    #: any-candidate signal carries no sparsity) and the downstream
-    #: [cap, M] stages blow past HBM; whole databases scan the
-    #: device-cached genome once per group instead, which keeps every
-    #: group in the sparse regime the prefilter is built for.
-    #: Swept on whole JASPAR2024 x 2 strands (length-sorted groups):
-    #: 512 -> 3.7 s, 1024 -> 4.6 s, 2048 -> 5.0 s -- extraction work
-    #: grows superlinearly with per-group candidate density, so
-    #: smaller groups win until the ~0.15 s/group fixed cost bites.
-    GROUP_MOTIFS = 512
+    #: Motifs per fused-prefilter pass.  Whole databases scan the
+    #: device-cached genome once per group; per-group capacities
+    #: ratchet and the phase-C/rescore live-block loops bound the
+    #: [cap, M] stages, so the limit is where the any-candidate union
+    #: stops being sparse.  Re-swept on whole JASPAR2024 x 2 strands
+    #: AFTER unreachable-threshold pruning + the u16 first pass + the
+    #: live-block loops (experiments/group_size_probe2.py): 512 ->
+    #: 0.41 s, 1024 -> 0.38 s, 2048 (one group) -> 0.33 s -- pruning
+    #: removed the loose motifs that used to saturate the union above
+    #: ~1k motifs (the pre-pruning sweep said 512; its 2048 point cost
+    #: 5.0 s).  Databases beyond 2048 LIVE motifs still group, which
+    #: also bounds the [slots, M] filter uploads.
+    GROUP_MOTIFS = 2048
 
     #: Motifs longer than this take the dense path (full exact f32
     #: scoring + compaction) instead of the two-pass prefilter.
@@ -662,12 +664,17 @@ class MultiScanner:
         # candidate density varies wildly across motif groups, and the
         # [cap, W] extraction stages scale with cap -- one hot group
         # must not inflate every other group's work
+        # hit counts scale with the group's motif count: seed cap_hits
+        # proportionally so a first whole-database scan does not pay a
+        # ratchet retry (and its extra compiled program) just to fit
+        # the expected hits of a 2048-motif group
+        seed_hits = self.capacity * max(1, gsize // 1024)
         while off < n_total:
             n_here = np.clip(n_valid - off, 0, seg).astype(np.int32)
             for gi, group in enumerate(
                     self._dev["groups"] if fused else [None]):
                 cap, cap_hits, dense = self._group_state.get(
-                    gi, (self.capacity, self.capacity, self._dense))
+                    gi, (self.capacity, seed_hits, self._dense))
                 entries.append(launch_fused(
                     gi, group, off, n_here, cap, cap_hits, dense))
             off += seg
