@@ -417,12 +417,13 @@ def bench_multiprot(ctx):
     wall_t, n_t = _multiscan_wall(tall, proteome, ths_t)
     gpm_t = len(proteome) * len(tall) / wall_t
     record("multiprotwin",
-           f"{len(tall)} protein motifs (m=40, windows fallback) x 1 Mres",
+           f"{len(tall)} protein motifs (m=40, dense exact-f32 path) "
+           "x 1 Mres",
            round(wall_t, 3), "s",
            f"{n_t} hits; {gpm_t / 1e6:.0f} Mpos*motif/s e2e "
            f"({wall / max(wall_t, 1e-9):.1f}x the fused wall per "
-           "motif*res) -- the measured cost of the fused->windows "
-           "transition")
+           "motif*res) -- the measured cost of the fused->dense "
+           "transition past the protein geometry (m > 32)")
 
 
 def bench_multilong(ctx):
