@@ -1,0 +1,214 @@
+"""Per-stage device cost of the whole-database fused scan.
+
+Replicates scan_multi_core's pipeline with a static stage cutoff and
+times each prefix under the repeat_time slope protocol, so the 0.24 s
+device wall decomposes into prefilter / compaction / phase C /
+extraction levels / rescore+pack.
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from lightmotif_tpu import EncodedSequence, load
+from lightmotif_tpu.ops import multi, multi_kernel, xla_ops
+from lightmotif_tpu.scanner import MultiScanner
+from tools.perf import repeat_time
+
+
+def build():
+    rng = np.random.default_rng(0xECC011)
+    genome = rng.integers(0, 4, size=4_641_652, dtype=np.int8)
+    seq = EncodedSequence(genome.astype(np.uint8))
+    db = "/root/reference/lightmotif-io/benches/JASPAR2024.meme"
+    fwd = [mo.pssm for mo in load(db, format="meme") if mo.pssm is not None]
+    ths = [p.score_distribution().score(1e-6) for p in fwd]
+    pssms = fwd + [p.reverse_complement() for p in fwd]
+    ms = MultiScanner(pssms, thresholds=ths + ths)
+    ids, _, _ = ms.scan_arrays(seq)
+    assert len(ids) == 71730, len(ids)
+    token = ms._dispatch_raw()
+    e = token["entries"][0]
+    g = e["group"]
+    cap, cap_hits, dense = ms._group_state[0]
+    chunk_len = int(ms._scan_data.shape[0])
+    n_here2d = np.zeros((1, g["filt16"][0].shape[1]), np.int32)
+    n_here2d[0, : g["count"]] = np.maximum(
+        np.array([len(seq)], np.int64) - ms.lengths[g["ids"]] + 1, 0)
+    print(f"cap={cap} cap_hits={cap_hits} dense={dense} "
+          f"chunk_len={chunk_len} m_max={g['m_max']} "
+          f"m_pad={g['filt16'][0].shape[1]}", flush=True)
+    return ms, g, chunk_len, cap, cap_hits, dense, jnp.asarray(n_here2d)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "stage", "cap", "cap_hits", "m_max", "k", "dense"))
+def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
+              stage: int, cap: int, cap_hits: int, m_max: int, k: int,
+              dense: bool, carry):
+    f_hi = f_hi + carry * jnp.float32(1e-45)
+    thresholds = thresholds + carry * jnp.float32(1e-45)
+    chunk_len = chunk.shape[0]
+    mcount = pssms.shape[0]
+    m_pad = f_hi.shape[1]
+    lanes = multi_kernel._lanes_for(k)
+    rpb = multi_kernel.MAX_MK // lanes
+    n_blocks = f_hi.shape[0] // multi_kernel.MAX_MK
+    bpw = multi_kernel.BITS_PER_WORD
+    n_words = m_pad // bpw
+
+    maxv = multi_kernel.prefilter_any16(chunk, f_hi, f_lo, m_max, k)
+    if stage == 1:
+        return maxv
+    any_mask = maxv.reshape(-1) >= 0
+    pos_count, pos_idx, pos_valid = xla_ops.compact_mask(
+        any_mask, cap, dense)
+    if stage == 2:
+        return pos_idx
+
+    powers = np.zeros((m_pad, n_words), np.float32)
+    for mo in range(m_pad):
+        powers[mo, mo // bpw] = float(1 << (mo % bpw))
+    pow_dev = jnp.asarray(powers, jnp.bfloat16)
+    fine_hi = f_hi.astype(jnp.bfloat16)
+    fine_lo = f_lo.astype(jnp.bfloat16)
+
+    def phase_c(pos_blk):
+        blk = pos_blk.shape[0]
+        safe = jnp.minimum(pos_blk, chunk_len - 1)
+        gidx = jnp.clip(
+            safe[:, None] + jnp.arange(m_max)[None, :], 0, chunk_len - 1)
+        win = chunk[gidx].astype(jnp.int32)
+        oh = win[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, lanes), 2)
+        pad_rows = n_blocks * rpb - m_max
+        if pad_rows:
+            oh = jnp.pad(oh, ((0, 0), (0, pad_rows), (0, 0)))
+        x = oh.reshape(blk, n_blocks * multi_kernel.MAX_MK)
+        x = x.at[:, lanes - 1].set(True)
+        xb = x.astype(jnp.bfloat16)
+        part = 256.0 * jnp.dot(
+            xb, fine_hi, preferred_element_type=jnp.float32,
+        ) + jnp.dot(xb, fine_lo, preferred_element_type=jnp.float32)
+        mask = (part >= 0) \
+            & (pos_blk[:, None] < n_valid_here[0][None, :]) \
+            & (pos_blk < chunk_len)[:, None]
+        wrds = jnp.dot(
+            mask.astype(jnp.bfloat16), pow_dev,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        return wrds, jnp.sum(mask.astype(jnp.int32))
+
+    blk = multi.PHASE_C_BLOCK
+    while blk > 1024 and blk * m_pad > (1 << 26):
+        blk //= 2
+    cap_pad = -(-cap // blk) * blk
+    pos_pad = pos_idx if cap_pad == cap else jnp.concatenate(
+        [pos_idx, jnp.full((cap_pad - cap,), chunk_len, pos_idx.dtype)])
+    n_blk = cap_pad // blk
+    live = jnp.minimum(
+        (pos_count.astype(jnp.int32) + blk - 1) // blk, n_blk)
+
+    def pc_body(i, carry2):
+        words_acc, pairs = carry2
+        pos_b = jax.lax.dynamic_slice(pos_pad, (i * blk,), (blk,))
+        wrds, cnt = phase_c(pos_b)
+        words_acc = jax.lax.dynamic_update_slice(
+            words_acc, wrds, (i * blk, 0))
+        return words_acc, jnp.minimum(pairs + cnt, jnp.int32(1 << 30))
+
+    words, pairs_total = jax.lax.fori_loop(
+        0, live, pc_body,
+        (jnp.zeros((cap_pad, n_words), jnp.int32), jnp.int32(0)))
+    words = words[:cap]
+    if stage == 3:
+        return words
+
+    c0 = min(cap, cap_hits)
+    has_hit = jnp.any(words != 0, axis=1)
+    hit_count, hrows, hvalid = xla_ops.compact_mask(
+        has_hit, c0, dense=True)
+    hsafe = jnp.minimum(hrows, cap - 1)
+    hlive = hrows < cap
+    words_h = jnp.where(hlive[:, None], words[hsafe], 0)
+    wpos_h = jnp.where(hlive, pos_idx[hsafe], chunk_len)
+    if stage == 4:
+        return words_h
+
+    wmask = (words_h != 0).reshape(-1)
+    wcount, widx, wvalid = xla_ops.compact_mask(
+        wmask, cap_hits, dense=True)
+    wsafe = jnp.minimum(widx, wmask.shape[0] - 1)
+    wvals = jnp.where(widx < wmask.shape[0],
+                      jnp.take(words_h.reshape(-1), wsafe), 0)
+    wrow = jnp.minimum(wsafe // n_words, c0 - 1)
+    wpos = wpos_h[wrow]
+    wword = wsafe % n_words
+    if stage == 5:
+        return wvals
+
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, bpw), 1)
+    bools = ((wvals[:, None] >> lane16) & 1) != 0
+    flat = bools.reshape(-1)
+    pair_count, pair_idx, pair_valid = xla_ops.compact_mask(
+        flat, cap_hits, dense=True)
+    pair_idx = jnp.minimum(pair_idx, flat.shape[0])
+    rows = jnp.minimum(pair_idx // bpw, cap_hits - 1)
+    positions = wpos[rows]
+    motif_ids = jnp.minimum(wword[rows] * bpw + pair_idx % bpw, mcount - 1)
+    if stage == 6:
+        return positions
+
+    fscores = multi.rescore_multi(chunk, pssms, positions, motif_ids,
+                                  n_live=pair_count)
+    if stage == 7:
+        return fscores
+    keep = (
+        (pair_idx < flat.shape[0])
+        & (positions < n_valid_here[0, motif_ids])
+        & (fscores >= thresholds[motif_ids])
+    )
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    key = jnp.where(keep, pair_idx, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    packed = jnp.stack([
+        jnp.take(positions, order),
+        jnp.take(motif_ids, order),
+        jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
+    ])
+    return packed
+
+
+def main():
+    ms, g, chunk_len, cap, cap_hits, dense, n_here2d = build()
+    k = 5
+    chunk = jax.lax.dynamic_slice(
+        jnp.asarray(ms._scan_data), (0,), (chunk_len,))
+    f_hi, f_lo = (x.astype(jnp.float32) for x in g["filt16"])
+    args = (chunk, f_hi, f_lo, g["pssm"], g["th"], n_here2d)
+    names = {1: "prefilter16", 2: "+compact(any)", 3: "+phaseC",
+             4: "+lvl0", 5: "+lvl1", 6: "+lvl2", 7: "+rescore",
+             8: "full(sort+pack)"}
+    prev = 0.0
+    for stage in sorted(names):
+        def make():
+            fn = lambda *a: core_upto(
+                a[0], a[1], a[2], a[3], a[4], a[5],
+                stage=stage, cap=cap, cap_hits=cap_hits,
+                m_max=g["m_max"], k=k, dense=dense, carry=a[6])
+            return fn, args, 0
+        per, spans = repeat_time(make, r_lo=1, r_hi=3, trials=3)
+        print(f"stage {stage} {names[stage]:18s}: {per*1e3:8.2f} ms "
+              f"(delta {max(per-prev,0)*1e3:7.2f} ms) spans={spans}",
+              flush=True)
+        prev = per
+
+
+if __name__ == "__main__":
+    main()

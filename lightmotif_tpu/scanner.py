@@ -380,6 +380,7 @@ class MultiScanner:
         # at the default capacity and always valid.
         self._dense = True
         self._group_state = {}  # per-motif-group (cap, dense) ratchets
+        self._head_hint = {}  # per-group last n_kept: sizes the head
         self._routing = None  # cached (fused, short_idx, dense_idx)
         if seq is not None:
             self.bind(seq)
@@ -455,6 +456,18 @@ class MultiScanner:
 
         return multi_kernel.MAX_BLOCKS * (
             multi_kernel.MAX_MK // multi_kernel._lanes_for(k))
+
+    def _head_slots(self, key, cap: int) -> int:
+        """Head-fetch width for one group: counters + the first
+        ``head`` hit columns ship in ONE ``device_get``, so sizing the
+        head from the group's sticky largest-seen ``n_kept`` (rounded
+        up to 4096 for slice-shape stability) lets the steady-state
+        hit fetch ride that single round trip instead of paying a
+        second ``packed`` transfer.  Undersized heads (hits grew, or
+        an earlier segment of a multi-segment scan) just fall back to
+        the full ``packed`` fetch."""
+        hint = self._head_hint.get(key, 0)
+        return min(cap, max(HEAD_SLOTS, -(-hint // 4096) * 4096))
 
     def _collect_raw(self):
         return self._fetch_raw(self._dispatch_raw())
@@ -540,6 +553,14 @@ class MultiScanner:
             # longest motif
             short_idx = short_idx[np.argsort(
                 self.lengths[short_idx], kind="stable")]
+            # NOT done: spilling the last contraction block's few
+            # stragglers (e.g. JASPAR2024's two m=33 motifs behind
+            # 2036 of m<=32) to the dense path.  Measured a net LOSS
+            # (0.292 s vs 0.267 s whole-database steady): the saved
+            # prefilter block (~26 ms of MXU work across the full
+            # group width) is outweighed by each dense entry's
+            # genome-length threshold compaction (~12 ms of cumsum +
+            # searchsorted per motif) plus its kernel + fetch entries.
             self._routing = {"fused": fused, "short_idx": short_idx,
                              "dense_idx": dense_idx}
         fused = self._routing["fused"]
@@ -636,7 +657,7 @@ class MultiScanner:
         def launch_fused(gi, group, off, n_here, cap, cap_hits, dense):
             counts, packed = run_one(off, n_here, cap, cap_hits, dense,
                                      group)
-            head = packed[:, : min(cap_hits, HEAD_SLOTS)]
+            head = packed[:, : self._head_slots(gi, cap_hits)]
             return {
                 "kind": "fused", "gi": gi, "group": group, "off": off,
                 "n_here": n_here, "cap": cap, "cap_hits": cap_hits,
@@ -650,7 +671,7 @@ class MultiScanner:
             counts, packed = dense_fn(
                 dseq.data, pssm_i, np.float32(self.thresholds[i]),
                 np.int32(n_i), n_b, cap, dense)
-            head = packed[:, : min(cap, HEAD_SLOTS)]
+            head = packed[:, : self._head_slots(("dense", i), cap)]
             return {
                 "kind": "dense", "i": i, "pssm_i": pssm_i, "n_i": n_i,
                 "n_b": n_b, "cap": cap, "dense": dense,
@@ -766,6 +787,8 @@ class MultiScanner:
             key = e["gi"] if fused else ("dense", e["i"])
             self._group_state[key] = (
                 e["cap"], e.get("cap_hits", e["cap"]), e["dense"])
+            self._head_hint[key] = max(
+                self._head_hint.get(key, 0), n_kept)
             if not n_kept:
                 return e, None
             if n_kept <= head_h.shape[1]:

@@ -888,3 +888,31 @@ def test_dense_bucket_shares_one_compile(monkeypatch):
         EncodedSequence(rng.integers(0, 4, size=3000, dtype=np.uint8)))
     for i, arr in cached.items():
         assert ms._dense_dev[i] is arr
+
+
+def test_head_hint_covers_steady_state_hits(genome):
+    """Sticky head widths: after a scan whose hit count exceeds the
+    default head, the NEXT dispatch's head slice covers it, so fetch
+    needs no second ``packed`` transfer (scanner.py::_head_slots)."""
+    from lightmotif_tpu import scanner as scanner_mod
+
+    motifs = make_motifs()
+    # very permissive thresholds -> tens of thousands of hits
+    ms = MultiScanner(motifs, genome, [-50.0, -30.0, -30.0])
+    mo, pos, sc = ms.scan_arrays(genome)
+    n_hits = len(mo)
+    assert n_hits > scanner_mod.HEAD_SLOTS  # the scenario under test
+    # the fused group's hint now records the settled n_kept
+    total_hint = sum(v for k, v in ms._head_hint.items())
+    assert total_hint == n_hits
+    # next dispatch sizes every head to cover its group's hint
+    token = ms._dispatch_raw()
+    for e in token["entries"]:
+        key = e["gi"] if e["kind"] == "fused" else ("dense", e["i"])
+        hint = ms._head_hint.get(key, 0)
+        assert e["head"].shape[1] >= min(hint, e.get("cap_hits", e["cap"]))
+    # and the results are unchanged (head-or-full protocol is lossless)
+    mo2, pos2, sc2 = ms._fetch_raw(token)
+    assert np.array_equal(mo, mo2)
+    assert np.array_equal(pos, pos2)
+    assert np.array_equal(sc, sc2)
