@@ -104,7 +104,82 @@ class TfmPvalue:
 
     # -- sparse DP over Q-values (lib.rs:132-183) ----------------------------
 
+    # Magnitude bound under which the vectorized int64 path is exact.
+    # Values beyond this (e.g. -inf cells saturated to i64::MIN and the
+    # resulting ~2^63 offsets) keep Python's arbitrary-precision ints.
+    _NP_SAFE = 1 << 60
+
     def _distribution(self, lo: int, hi: int) -> None:
+        M, K = self.M, self.K
+        sum_max = sum(self.max_score_rows)
+        vals = (abs(lo), abs(hi), abs(sum_max)) + tuple(
+            abs(v) for row in self.int_matrix for v in row
+        )
+        if max(vals) < self._NP_SAFE:
+            self._distribution_np(lo, hi)
+        else:
+            self._distribution_dict(lo, hi)
+
+    def _distribution_np(self, lo: int, hi: int) -> None:
+        """Vectorized sparse DP: sorted int64 key arrays + np.add.at.
+
+        Mathematically identical to ``_distribution_dict`` (the reference
+        loop, lib.rs:132-183); float accumulation order differs only in
+        the order duplicate keys merge, which the golden tolerances
+        absorb (the reference's own HashMap order is unspecified too).
+        """
+        for d in self.qvalues:
+            d.clear()
+        M, K = self.M, self.K
+        bg = np.asarray(self._bg[: K - 1], dtype=np.float64)
+        im = np.asarray(
+            [[self.int_matrix[i][j] for j in range(K - 1)] for i in range(M)],
+            dtype=np.int64,
+        )
+
+        # maximum score reachable with the suffix from i to M-1
+        maxs = np.zeros(M + 1, dtype=np.int64)
+        for i in range(M - 1, -1, -1):
+            maxs[i] = maxs[i + 1] + self.max_score_rows[i]
+
+        keep0 = im[0] + maxs[1] >= lo
+        k0, v0 = im[0][keep0], bg[keep0]
+        keys, inv = np.unique(k0, return_inverse=True)
+        vals = np.zeros(len(keys), dtype=np.float64)
+        np.add.at(vals, inv, v0)
+        self.qvalues[0].update(zip((int(k) for k in keys), vals.tolist()))
+
+        sentinel = 0.0
+        _CHUNK = 1 << 20  # bound the [N, K-1] expansion's memory
+        for pos in range(1, M):
+            row = im[pos]
+            tail_max = int(maxs[pos + 1])
+            kept_keys, kept_vals = [], []
+            for s in range(0, len(keys), _CHUNK):
+                kc = keys[s : s + _CHUNK]
+                vc = vals[s : s + _CHUNK]
+                sc = kc[:, None] + row[None, :]
+                occ = vc[:, None] * bg[None, :]
+                keep = sc + tail_max >= lo
+                over = keep & (sc > hi)
+                sentinel += float(occ[over].sum())
+                ok = keep & ~over
+                kept_keys.append(sc[ok])
+                kept_vals.append(occ[ok])
+            flat_k = np.concatenate(kept_keys) if kept_keys else np.empty(0, np.int64)
+            flat_v = np.concatenate(kept_vals) if kept_vals else np.empty(0)
+            keys, inv = np.unique(flat_k, return_inverse=True)
+            vals = np.zeros(len(keys), dtype=np.float64)
+            np.add.at(vals, inv, flat_v)
+
+        last = self.qvalues[M - 1]
+        if M > 1:
+            last.update(zip((int(k) for k in keys), vals.tolist()))
+        # sentinel bucket: seeded with setdefault then accumulated, exactly
+        # like the dict path's ``last[hi + 1]`` updates
+        last[hi + 1] = last.get(hi + 1, 0.0) + sentinel
+
+    def _distribution_dict(self, lo: int, hi: int) -> None:
         for d in self.qvalues:
             d.clear()
         M, K = self.M, self.K

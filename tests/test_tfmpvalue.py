@@ -69,6 +69,84 @@ def test_score(pssm):
     almost_eq(tfmp.score(1e-10), 19.1, places=5)
 
 
+def test_wide_matrix_fine_granularity():
+    """m=20 at granularity 1e-5 completes fast (vectorized int64 DP).
+
+    Guards the np.add.at DP path (``tfmpvalue.py::_distribution_np``)
+    against regressing to dict-loop speeds; the reference's IntMap DP
+    (``lightmotif-tfmpvalue/src/lib.rs:132-183``) handles this scale.
+    """
+    import time
+
+    import numpy as np
+
+    from lightmotif_tpu import DNA, CountMatrix
+
+    rng = np.random.default_rng(7)
+    counts = rng.integers(0, 40, size=(20, 4))
+    rows = np.concatenate([counts, np.zeros((20, 1), int)], axis=1)
+    pssm = CountMatrix(DNA, rows.tolist()).to_freq(0.1).to_scoring(None)
+    tfmp = TfmPvalue(pssm)
+    score = 0.8 * float(np.asarray(pssm.data)[:, :4].max(axis=1).sum())
+
+    t0 = time.perf_counter()
+    last = None
+    for it in tfmp.approximate_pvalue(score):
+        last = it
+        if it.granularity <= 1e-5:
+            break
+    wall = time.perf_counter() - t0
+    assert last is not None and last.granularity <= 1e-5
+    lo, hi = last.range
+    assert 0.0 < lo <= hi < 1.0
+    assert (hi - lo) / hi < 1e-2  # range nearly collapsed at 1e-5
+    assert wall < 5.0  # dict DP took minutes here
+
+
+def test_roundtrip_property():
+    """pvalue(score(p)) == p-neighborhood and monotonicity, random PSSMs.
+
+    Property test pinning ``_lookup_score``'s total/pvalues bookkeeping
+    (reference quirks at ``lib.rs:229-287``): the score->pvalue->score
+    round trip must be stable and pvalue must be antitone in score.
+    """
+    import numpy as np
+
+    from lightmotif_tpu import DNA, CountMatrix
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        m = int(rng.integers(4, 12))
+        counts = rng.integers(0, 25, size=(m, 4))
+        rows = np.concatenate([counts, np.zeros((m, 1), int)], axis=1)
+        pssm = CountMatrix(DNA, rows.tolist()).to_freq(0.1).to_scoring(None)
+        tfmp = TfmPvalue(pssm)
+        smax = float(np.asarray(pssm.data)[:, :4].max(axis=1).sum())
+        smin = float(np.asarray(pssm.data)[:, :4].min(axis=1).sum())
+
+        probes = [smin + f * (smax - smin) for f in (0.55, 0.7, 0.85)]
+        pvals = [tfmp.pvalue(s) for s in probes]
+        # antitone: higher score -> p-value no larger
+        assert pvals[0] >= pvals[1] >= pvals[2], (trial, probes, pvals)
+        backs = []
+        for s, p in zip(probes, pvals):
+            if p <= 0.0:
+                backs.append(None)
+                continue  # beyond representable tail
+            s_back = tfmp.score(p)
+            p_back = tfmp.pvalue(s_back)
+            backs.append(s_back)
+            # score(p) returns a score whose exact p-value covers p
+            # (>= p): the distribution is discrete, p itself may be
+            # unattainable, and the reference's equality quirk
+            # (lib.rs:252-263) can step one level low -- but coverage
+            # must hold.
+            assert p_back >= p * (1.0 - 1e-9), (trial, s, p, s_back, p_back)
+        # score antitone in p: larger p-value -> smaller-or-equal score
+        got = [b for b in backs if b is not None]
+        assert all(a <= b + 1e-9 for a, b in zip(got, got[1:])), (trial, backs)
+
+
 def test_doctest_example():
     # lib.rs:306-326 doctest
     from lightmotif_tpu import DNA, CountMatrix
