@@ -133,6 +133,89 @@ class Hit:
         return f"Hit(position={self.position}, score={self.score})"
 
 
+def _seq_ranks(seq) -> np.ndarray:
+    from .sequence import EncodedSequence, StripedSequence
+
+    if isinstance(seq, StripedSequence):
+        seq = seq.unstripe()
+    if isinstance(seq, EncodedSequence):
+        return np.asarray(seq.data)
+    if isinstance(seq, DeviceSequence):
+        import jax
+
+        return np.asarray(jax.device_get(seq.data))[: seq.length]
+    raise TypeError(f"cannot extract symbols from {type(seq).__name__}")
+
+
+def _reference_max(pssm, dm, seq, threshold: float,
+                   lanes: int = 32, block_size: int = 256):
+    """Host replay of the reference's ``Scanner::max`` rising-cutoff
+    algorithm (``scan.rs:200-249``), bit-faithful to the AVX2 layout.
+
+    Reproduced quirks:
+
+    - the discrete cutoff starts at ``scale(threshold)`` and rises to
+      the *quantized* score of each accepted candidate (``scan.rs:236``),
+      so later candidates with a higher exact score but lower quantized
+      score can be skipped;
+    - candidates are visited in striped order (row within block, then
+      lane; position = lane * rows + row) because acceptance depends on
+      visit order once the cutoff starts rising;
+    - unlike ``Scanner::next`` (``scan.rs:183``), no ``index + m <=
+      len`` mask is applied, so default-symbol padding windows past the
+      sequence end are scored and can be returned;
+    - the first accepted candidate does not raise the cutoff
+      (``scan.rs:244-246`` sets ``best`` without ``best_discrete``).
+    """
+    ranks = _seq_ranks(seq)
+    m = len(pssm)
+    L = int(ranks.shape[0])
+    if L == 0 or m == 0:
+        return None
+    rows = -(-L // lanes)  # ceil: striped row count (pli/mod.rs:183)
+    n_cells = rows * lanes
+    default_idx = pssm.alphabet.default_index
+    ext = np.full(n_cells + m, default_idx, dtype=np.int64)
+    ext[:L] = ranks
+
+    # u8 scores of every striped cell: stepwise saturating adds equal
+    # one final clamp because the addends are non-negative
+    dmat = np.asarray(dm.data, dtype=np.uint32)
+    acc = np.zeros(n_cells, dtype=np.uint32)
+    for j in range(m):
+        acc += dmat[j][ext[j : j + n_cells]]
+    dall = np.minimum(acc, 255)
+    # grid[r, c] = dall[c * rows + r]
+    grid = dall.reshape(lanes, rows).T
+
+    pmat = np.asarray(pssm.data, dtype=np.float32)
+
+    def f32_score(index: int) -> float:
+        s = np.float32(0.0)
+        for j in range(m):
+            s = np.float32(s + pmat[j, ext[index + j]])
+        return float(s)
+
+    best = None  # (index, score)
+    best_d = int(dm.scale(threshold))
+    for row0 in range(0, rows, block_size):
+        blk = grid[row0 : min(row0 + block_size, rows)]
+        if int(blk.max(initial=0)) < best_d:
+            continue
+        for i, c in np.argwhere(blk >= best_d):  # row-major visit order
+            d = int(blk[i, c])
+            if d < best_d:
+                continue
+            index = int(c) * rows + row0 + int(i)
+            score = f32_score(index)
+            if best is None:
+                best = (index, score)
+            elif score > best[1] or (score == best[1] and index > best[0]):
+                best = (index, score)
+                best_d = d
+    return Hit(best[0], best[1]) if best is not None else None
+
+
 class Scanner:
     """Iterator over hits of a PSSM in a sequence above a threshold."""
 
@@ -258,7 +341,7 @@ class Scanner:
     def collect(self) -> list:
         return list(self)
 
-    def max(self):
+    def max(self, mode: str = "exact"):
         """Best hit among the discrete candidates; ties resolve to the
         larger position (``scan.rs:200-249``).
 
@@ -267,15 +350,25 @@ class Scanner:
         the over-estimating discrete filter, and the best exact score
         among candidates wins.
 
-        Intentional deviation: the reference progressively RAISES its
-        discrete cutoff to the accepted candidate's quantized score
-        (``scan.rs:236``), which can skip a later candidate whose exact
-        score is higher but whose quantized score is lower (uneven
-        over-estimation).  This implementation keeps the cutoff at
-        ``scale(threshold)``, so it evaluates a superset of the
-        reference's candidates and always returns the true best exact
-        score among them.
+        ``mode="exact"`` (default) is an intentional deviation: the
+        reference progressively RAISES its discrete cutoff to the
+        accepted candidate's quantized score (``scan.rs:236``), which
+        can skip a later candidate whose exact score is higher but
+        whose quantized score is lower (uneven over-estimation).  This
+        implementation keeps the cutoff at ``scale(threshold)``, so it
+        evaluates a superset of the reference's candidates and always
+        returns the true best exact score among them.
+
+        ``mode="reference"`` replays the reference's rising-cutoff
+        algorithm exactly (AVX2 geometry: 32 lanes, 256-row blocks,
+        striped candidate order, including its unmasked padding windows
+        at indices past ``len - m``), for behavioral parity testing.
         """
+        if mode == "reference":
+            return _reference_max(
+                self.pssm, self.dm, self.seq, self.threshold)
+        if mode != "exact":
+            raise ValueError(f"unknown max mode {mode!r}")
         saved = self.threshold
         best = None
         try:
