@@ -21,31 +21,104 @@
 #include <string>
 #include <vector>
 
+#if defined(__x86_64__) || defined(_M_X64)
+#define LM_X86 1
+#include <immintrin.h>
+#endif
+
 namespace {
 
 struct EncodeResult {
     long invalid_at = -1;  // first invalid byte position, or -1
 };
 
-// Table-lookup encode; branchless inner loop, single validity scan.
+#ifdef LM_X86
+// The SIMD path handles LUTs whose valid entries all live in the ASCII
+// range [0x40, 0x7F] (every alphabet here: letters only).  The analogue
+// of the reference's cmpeq/blendv pipeline (avx2.rs:40-99), but table-
+// driven: rank = table32[case][c & 0x1F] via two pshufb halves, with a
+// (c & 0xC0) == 0x40 range check; everything else encodes as 0xFF.
+static bool lut_simd_ok(const uint8_t* lut) {
+    for (int c = 0; c < 256; ++c) {
+        if (lut[c] != 0xFF && (c < 0x40 || c > 0x7F)) return false;
+    }
+    return true;
+}
+
+__attribute__((target("avx2"))) static Py_ssize_t encode_avx2(
+    const uint8_t* src, Py_ssize_t n, const uint8_t* lut, bool lossy,
+    uint8_t dflt, uint8_t* dst, bool* any_bad) {
+    alignas(32) uint8_t t[4][32];
+    for (int i = 0; i < 16; ++i) {
+        t[0][i] = t[0][i + 16] = lut[0x40 + i];
+        t[1][i] = t[1][i + 16] = lut[0x50 + i];
+        t[2][i] = t[2][i + 16] = lut[0x60 + i];
+        t[3][i] = t[3][i + 16] = lut[0x70 + i];
+    }
+    const __m256i U0 = _mm256_load_si256((const __m256i*)t[0]);
+    const __m256i U1 = _mm256_load_si256((const __m256i*)t[1]);
+    const __m256i L0 = _mm256_load_si256((const __m256i*)t[2]);
+    const __m256i L1 = _mm256_load_si256((const __m256i*)t[3]);
+    const __m256i nib = _mm256_set1_epi8(0x0F);
+    const __m256i hi2 = _mm256_set1_epi8((char)0xC0);
+    const __m256i at = _mm256_set1_epi8(0x40);
+    const __m256i inval = _mm256_set1_epi8((char)0xFF);
+    const __m256i vdflt = _mm256_set1_epi8((char)dflt);
+    __m256i bad = _mm256_setzero_si256();
+    Py_ssize_t i = 0;
+    for (; i + 32 <= n; i += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(src + i));
+        __m256i idx = _mm256_and_si256(v, nib);
+        // bit4 -> bit7 / bit5 -> bit7 for blendv sign selection
+        __m256i half = _mm256_slli_epi16(v, 3);
+        __m256i lower = _mm256_slli_epi16(v, 2);
+        __m256i rU = _mm256_blendv_epi8(_mm256_shuffle_epi8(U0, idx),
+                                        _mm256_shuffle_epi8(U1, idx), half);
+        __m256i rL = _mm256_blendv_epi8(_mm256_shuffle_epi8(L0, idx),
+                                        _mm256_shuffle_epi8(L1, idx), half);
+        __m256i r = _mm256_blendv_epi8(rU, rL, lower);
+        __m256i ok = _mm256_cmpeq_epi8(_mm256_and_si256(v, hi2), at);
+        r = _mm256_blendv_epi8(inval, r, ok);
+        __m256i isbad = _mm256_cmpeq_epi8(r, inval);
+        if (lossy) {
+            r = _mm256_blendv_epi8(r, vdflt, isbad);
+        } else {
+            bad = _mm256_or_si256(bad, isbad);
+        }
+        _mm256_storeu_si256((__m256i*)(dst + i), r);
+    }
+    *any_bad = !_mm256_testz_si256(bad, bad);
+    return i;
+}
+#endif  // LM_X86
+
+// Table-lookup encode; SIMD fast path + scalar tail/fallback, one
+// validity re-scan to recover the first invalid position.
 static EncodeResult encode_into(const uint8_t* src, Py_ssize_t n,
                                 const uint8_t* lut, bool lossy,
                                 uint8_t dflt, uint8_t* dst) {
     EncodeResult res;
+    Py_ssize_t start = 0;
+    bool vec_bad = false;
+#ifdef LM_X86
+    if (n >= 64 && __builtin_cpu_supports("avx2") && lut_simd_ok(lut)) {
+        start = encode_avx2(src, n, lut, lossy, dflt, dst, &vec_bad);
+    }
+#endif
     if (lossy) {
-        for (Py_ssize_t i = 0; i < n; ++i) {
+        for (Py_ssize_t i = start; i < n; ++i) {
             uint8_t v = lut[src[i]];
             dst[i] = (v == 0xFF) ? dflt : v;
         }
         return res;
     }
     uint8_t bad = 0;
-    for (Py_ssize_t i = 0; i < n; ++i) {
+    for (Py_ssize_t i = start; i < n; ++i) {
         uint8_t v = lut[src[i]];
         dst[i] = v;
         bad |= (uint8_t)(v == 0xFF);
     }
-    if (bad) {
+    if (bad || vec_bad) {
         for (Py_ssize_t i = 0; i < n; ++i) {
             if (dst[i] == 0xFF) {
                 res.invalid_at = (long)i;
@@ -131,10 +204,7 @@ static int parse_fasta_impl(const uint8_t* p, Py_ssize_t n,
             size_t base = cur->encoded.size();
             cur->encoded.resize(base + (e - i));
             uint8_t* dst = (uint8_t*)cur->encoded.data() + base;
-            for (Py_ssize_t t = i; t < e; ++t) {
-                uint8_t v = lut[p[t]];
-                dst[t - i] = (v == 0xFF) ? dflt : v;
-            }
+            encode_into(p + i, e - i, lut, /*lossy=*/true, dflt, dst);
             i = j + 1;
         }
     }
