@@ -235,9 +235,45 @@ def bench_encode(ctx):
         best = min(best, time.perf_counter() - t0)
     record("encode", "ASCII->rank encode (native, host)",
            round(len(text) / best / 1e9, 2), "Gpos/s",
-           "C++ LUT encoder, GIL released; bound by this VM's single "
-           "weak vCPU (numpy LUT measures the same), overlapped with "
-           "device scans in the CLI")
+           "C++ AVX2 nibble-shuffle encoder (scalar LUT fallback), GIL "
+           "released; overlapped with device scans in the CLI")
+
+
+def bench_count(ctx):
+    """Symbol counting (reference ``lightmotif/benches/count.rs``)."""
+    from lightmotif_tpu import EncodedSequence
+
+    seq = ctx["seq"]
+    seq.count_symbols()  # warm
+    best = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        counts = seq.count_symbols()
+        best = min(best, time.perf_counter() - t0)
+    record("count", "count_symbols over E. coli (host)",
+           round(len(seq) / best / 1e9, 2), "Gpos/s",
+           f"counts={[int(c) for c in counts]}")
+
+
+def bench_stripe(ctx):
+    """Striped layout transform (reference ``benches/stripe.rs``).
+
+    On TPU striping is a host-side reshape into the column-major view;
+    the kernels consume the flat layout, so this benches the API's
+    round-trip cost, not a hot path."""
+    seq = ctx["seq"]
+    striped = seq.to_striped()  # warm
+    best = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        striped = seq.to_striped()
+        striped.configure_wrap(14)
+        best = min(best, time.perf_counter() - t0)
+    back = striped.unstripe()
+    assert np.array_equal(np.asarray(back.data), np.asarray(seq.data))
+    record("stripe", "stripe + configure_wrap(14), E. coli (host)",
+           round(len(seq) / best / 1e9, 2), "Gpos/s",
+           "host reshape; kernels consume the flat form by design")
 
 
 def bench_scan(ctx):
@@ -768,6 +804,8 @@ WORKLOADS = {
     "argmax": bench_argmax,
     "threshold": bench_threshold,
     "encode": bench_encode,
+    "count": bench_count,
+    "stripe": bench_stripe,
     "scan": bench_scan,
     "scanmax": bench_scanmax,
     "batch": bench_batch,

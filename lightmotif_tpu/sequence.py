@@ -156,6 +156,13 @@ class EncodedSequence:
         return int(np.count_nonzero(self.data == symbol))
 
     def count_symbols(self) -> np.ndarray:
+        from . import native
+
+        mod = native.get()
+        if mod is not None and self.data.flags["C_CONTIGUOUS"]:
+            return np.asarray(
+                mod.count_symbols(self.data, self.alphabet.size),
+                dtype=np.int64)
         return np.bincount(self.data, minlength=self.alphabet.size).astype(np.int64)
 
     def reverse_complement(self) -> "EncodedSequence":
