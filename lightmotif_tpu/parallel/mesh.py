@@ -34,6 +34,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops import kernels, xla_ops
+from ..scanner import head_width
 
 __all__ = [
     "make_genome_mesh",
@@ -483,6 +484,7 @@ class ShardedMultiScanner:
         self.pad_unit = pad_unit
         self._holder = _MeshHolder(self.mesh)
         self._group_state = {}  # sticky per-group / per-dense ratchets
+        self._head_hint = {}  # decaying-max n_kept per entry key
 
         # per-motif routing: fused two-pass prefilter where it is sound
         # and supported, exact dense scoring everywhere else; motifs
@@ -625,14 +627,16 @@ class ShardedMultiScanner:
             raise ValueError("no sequence bound; use scan(seq)/bind(seq)")
         holder, k = self._holder, self.k
 
-        def launch_group(grp, nv, g_cap, g_cap_hits, dense):
+        def launch_group(gi, grp, nv, g_cap, g_cap_hits, dense):
             counts, packed = _sharded_multi_impl(
                 st["shards"], None, grp["pssm"], grp["th"], nv,
                 grp["filters"], st["chunk"], g_cap, g_cap_hits,
                 grp["m_bucket"], k, holder, dense)
-            head = (packed[:, :, : min(g_cap_hits, _HEAD_SLOTS)]
+            width = head_width(self._head_hint.get(gi, 0),
+                               g_cap_hits)
+            head = (packed[:, :, :width]
                     if jax.process_count() == 1 else None)
-            return {"kind": "fused", "grp": grp, "nv": nv,
+            return {"kind": "fused", "grp": grp, "nv": nv, "gi": gi,
                     "cap": g_cap, "cap_hits": g_cap_hits,
                     "dense": dense, "counts": counts, "packed": packed,
                     "head": head}
@@ -643,7 +647,9 @@ class ShardedMultiScanner:
                 jnp.float32(self.thresholds[dn["i"]]), chunk_i,
                 jnp.int32(n_i), g_cap, holder, dense,
                 dn["block_lanes"])
-            head = (packed[:, :, : min(g_cap, _HEAD_SLOTS)]
+            width = head_width(
+                self._head_hint.get(("dense", dn["i"]), 0), g_cap)
+            head = (packed[:, :, :width]
                     if jax.process_count() == 1 else None)
             return {"kind": "dense", "dn": dn, "dshards": dshards,
                     "chunk": chunk_i, "n_i": n_i, "cap": g_cap,
@@ -660,10 +666,8 @@ class ShardedMultiScanner:
             seed_hits = self.cap * max(1, len(grp["ids"]) // 1024)
             g_cap, g_cap_hits, dense = self._group_state.get(
                 gi, (self.cap, seed_hits, True))
-            e = launch_group(grp, st["nv"][gi], g_cap, g_cap_hits,
-                             dense)
-            e["gi"] = gi
-            entries.append(e)
+            entries.append(launch_group(gi, grp, st["nv"][gi],
+                                        g_cap, g_cap_hits, dense))
         for dn, dshards, chunk_i, n_i in st["dense"]:
             g_cap, _, dense = self._group_state.get(
                 ("dense", dn["i"]), (self.cap, self.cap, True))
@@ -706,10 +710,9 @@ class ShardedMultiScanner:
                     g_cap_hits = max(
                         g_cap_hits, 1 << (hit_need - 1).bit_length())
                 if fused:
-                    gi = e["gi"]
-                    e = token["launch_group"](e["grp"], e["nv"], g_cap,
+                    e = token["launch_group"](e["gi"], e["grp"],
+                                              e["nv"], g_cap,
                                               g_cap_hits, True)
-                    e["gi"] = gi
                 else:
                     e = token["launch_dense"](e["dn"], e["dshards"],
                                               e["chunk"], e["n_i"],
@@ -723,6 +726,10 @@ class ShardedMultiScanner:
                 self._group_state[("dense", e["dn"]["i"])] = (
                     e["cap"], e["cap"], e["dense"])
             kept_col = 2 if fused else 1
+            key = e["gi"] if fused else ("dense", e["dn"]["i"])
+            self._head_hint[key] = max(
+                self._head_hint.get(key, 0) >> 1,
+                int(np.asarray(counts_h)[:, kept_col].max(initial=0)))
             ids_arr = np.asarray(e["grp"]["ids"]) if fused else None
             for shard in e["packed"].addressable_shards:
                 d = shard.index[0].start or 0

@@ -47,6 +47,20 @@ DEFAULT_CAPACITY = 1 << 16
 HEAD_SLOTS = 8192
 
 
+def head_width(hint: int, cap: int) -> int:
+    """Hit-head fetch width for a sticky ``n_kept`` hint.
+
+    Snapped to a coarse 8x ladder (8192, 65536, 524288, ...) so shape
+    churn -- every distinct slice width is a separate compiled program
+    on the remote chip -- is bounded to a handful of programs per
+    geometry, while the head still covers the hint within 8x.
+    """
+    width = HEAD_SLOTS
+    while width < hint:
+        width <<= 3
+    return min(cap, width)
+
+
 def _scan_buffer(cached, dseq_data, need: int, wildcard: int):
     """Device scan buffer padded so every ``[off, off + chunk_len)``
     in-program slice is in bounds; reuses ``dseq_data`` when already big
@@ -553,14 +567,13 @@ class MultiScanner:
     def _head_slots(self, key, cap: int) -> int:
         """Head-fetch width for one group: counters + the first
         ``head`` hit columns ship in ONE ``device_get``, so sizing the
-        head from the group's sticky largest-seen ``n_kept`` (rounded
-        up to 4096 for slice-shape stability) lets the steady-state
-        hit fetch ride that single round trip instead of paying a
-        second ``packed`` transfer.  Undersized heads (hits grew, or
-        an earlier segment of a multi-segment scan) just fall back to
-        the full ``packed`` fetch."""
-        hint = self._head_hint.get(key, 0)
-        return min(cap, max(HEAD_SLOTS, -(-hint // 4096) * 4096))
+        head from the group's decaying-max ``n_kept`` hint (snapped to
+        the :func:`head_width` ladder for slice-shape stability) lets
+        the steady-state hit fetch ride that single round trip instead
+        of paying a second ``packed`` transfer.  Undersized heads
+        (hits grew, or an earlier segment of a multi-segment scan)
+        just fall back to the full ``packed`` fetch."""
+        return head_width(self._head_hint.get(key, 0), cap)
 
     def _collect_raw(self):
         return self._fetch_raw(self._dispatch_raw())
@@ -880,8 +893,11 @@ class MultiScanner:
             key = e["gi"] if fused else ("dense", e["i"])
             self._group_state[key] = (
                 e["cap"], e.get("cap_hits", e["cap"]), e["dense"])
+            # decaying max: one hit-heavy scan stops inflating every
+            # later dispatch's head transfer (halves per scan until the
+            # recent traffic dominates again)
             self._head_hint[key] = max(
-                self._head_hint.get(key, 0), n_kept)
+                self._head_hint.get(key, 0) >> 1, n_kept)
             if not n_kept:
                 return e, None
             if n_kept <= head_h.shape[1]:
