@@ -48,10 +48,10 @@ def build():
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "stage", "cap", "cap_hits", "m_max", "k", "dense"))
+    "stage", "cap", "cap_hits", "m_max", "k", "dense", "widths"))
 def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
               stage: int, cap: int, cap_hits: int, m_max: int, k: int,
-              dense: bool, carry):
+              dense: bool, carry, widths=None):
     f_hi = f_hi + carry * jnp.float32(1e-45)
     thresholds = thresholds + carry * jnp.float32(1e-45)
     chunk_len = chunk.shape[0]
@@ -63,7 +63,8 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
     bpw = multi_kernel.BITS_PER_WORD
     n_words = m_pad // bpw
 
-    maxv = multi_kernel.prefilter_any16(chunk, f_hi, f_lo, m_max, k)
+    maxv = multi_kernel.prefilter_any16(chunk, f_hi, f_lo, m_max, k,
+                                        widths=widths)
     if stage == 1:
         return maxv
     any_mask = maxv.reshape(-1) >= 0
@@ -93,9 +94,24 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
         x = oh.reshape(blk, n_blocks * multi_kernel.MAX_MK)
         x = x.at[:, lanes - 1].set(True)
         xb = x.astype(jnp.bfloat16)
-        part = 256.0 * jnp.dot(
-            xb, fine_hi, preferred_element_type=jnp.float32,
-        ) + jnp.dot(xb, fine_lo, preferred_element_type=jnp.float32)
+        ws = widths if widths is not None else (
+            fine_hi.shape[1],) * n_blocks
+        mk = multi_kernel.MAX_MK
+        hi_acc = jnp.dot(xb[:, :mk], fine_hi[:mk],
+                         preferred_element_type=jnp.float32)
+        lo_acc = jnp.dot(xb[:, :mk], fine_lo[:mk],
+                         preferred_element_type=jnp.float32)
+        for b in range(1, n_blocks):
+            s_b = fine_hi.shape[1] - ws[b]
+            hi_acc = hi_acc.at[:, s_b:].add(jnp.dot(
+                xb[:, b * mk:(b + 1) * mk],
+                fine_hi[b * mk:(b + 1) * mk, s_b:],
+                preferred_element_type=jnp.float32))
+            lo_acc = lo_acc.at[:, s_b:].add(jnp.dot(
+                xb[:, b * mk:(b + 1) * mk],
+                fine_lo[b * mk:(b + 1) * mk, s_b:],
+                preferred_element_type=jnp.float32))
+        part = 256.0 * hi_acc + lo_acc
         mask = (part >= 0) \
             & (pos_blk[:, None] < n_valid_here[0][None, :]) \
             & (pos_blk < chunk_len)[:, None]
@@ -201,7 +217,8 @@ def main():
             fn = lambda *a: core_upto(
                 a[0], a[1], a[2], a[3], a[4], a[5],
                 stage=stage, cap=cap, cap_hits=cap_hits,
-                m_max=g["m_max"], k=k, dense=dense, carry=a[6])
+                m_max=g["m_max"], k=k, dense=dense, carry=a[6],
+                widths=g.get("widths"))
             return fn, args, 0
         per, spans = repeat_time(make, r_lo=1, r_hi=3, trials=3)
         print(f"stage {stage} {names[stage]:18s}: {per*1e3:8.2f} ms "

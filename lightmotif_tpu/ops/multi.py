@@ -55,6 +55,7 @@ __all__ = [
     "fine_discretize",
     "fine_thresholds",
     "pack_filters_fine",
+    "ragged_widths",
     "pack_motif_group",
     "group_bucket",
 ]
@@ -161,6 +162,51 @@ def unreachable_thresholds(pssm_stack, thresholds):
     return np.isfinite(t) & np.where(finite_bound, above, True)
 
 
+def ragged_widths(f_hi, f_lo, k: int) -> tuple[int, ...]:
+    """Per-contraction-block motif-lane suffix widths for the ragged
+    fused prefilter.
+
+    Block ``b`` of the ``[(j, s) slot, motif]`` filters only has
+    nonzero cells for motifs whose length exceeds ``b * rows_per_
+    block``; with length-sorted groups those motifs are a suffix of
+    the lane axis.  Returns one width per block (power-of-two >= 128,
+    non-increasing, ``widths[0] = m_pad``): the matmul for block ``b``
+    can cover just the last ``widths[b]`` lanes.  Derived from the
+    packed filter content itself -- correct for ANY motif order (an
+    unsorted group simply degrades to full widths), and immune to
+    packer drift.
+    """
+    from . import multi_kernel
+
+    m_pad = f_hi.shape[1]
+    n_blocks = f_hi.shape[0] // multi_kernel.MAX_MK
+    if m_pad % 128:
+        # suffix starts must stay 128-lane aligned for Mosaic slices;
+        # sets small enough to have a ragged-unfriendly pad gain
+        # nothing from raggedness anyway
+        return (m_pad,) * n_blocks
+    needs = [m_pad]
+    for b in range(1, n_blocks):
+        rows = slice(b * multi_kernel.MAX_MK, (b + 1) * multi_kernel.MAX_MK)
+        nz = (np.abs(f_hi[rows]) + np.abs(f_lo[rows])).any(axis=0)
+        first = int(np.argmax(nz)) if nz.any() else m_pad
+        needs.append(m_pad - first)
+    # a motif may have all-zero cells in an intermediate block (uniform
+    # PSSM rows discretize to 0) yet nonzero cells later: widths must be
+    # non-increasing for the kernel's shrinking accumulator, so widen
+    # earlier blocks to cover every later one (their extra columns are
+    # zero -- harmless)
+    for b in range(n_blocks - 2, 0, -1):
+        needs[b] = max(needs[b], needs[b + 1])
+    widths = [m_pad]
+    for need in needs[1:]:
+        w = 128
+        while w < need:
+            w *= 2
+        widths.append(min(w, m_pad))
+    return tuple(widths)
+
+
 def pack_filters_fine(data16, t16, k: int):
     """Hi/lo byte filter pair for the phase-C u16 refined test.
 
@@ -245,6 +291,7 @@ def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
         "th": th_g,
         "m_max": m_bucket,
         "count": len(ids),
+        "widths": ragged_widths(f_hi, f_lo, k),
     }
 
 
@@ -395,12 +442,12 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "chunk_len", "cap", "dense", "m_max", "k", "cap_hits"))
+    "chunk_len", "cap", "dense", "m_max", "k", "cap_hits", "widths"))
 def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
                              thresholds, chunk_len: int, cap: int,
                              m_max: int, k: int, dense: bool = False,
                              cap_hits: int | None = None,
-                             filters_fine=None):
+                             filters_fine=None, widths=None):
     """Fused-prefilter variant of :func:`scan_multi_segment`.
 
     Uses the Pallas MXU any-candidate prefilter (:mod:`.multi_kernel`):
@@ -412,12 +459,13 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     return scan_multi_core(chunk, n_valid_here, filters_t, pssms,
                            thresholds, cap, m_max, k, dense, cap_hits,
-                           filters_fine)
+                           filters_fine, widths)
 
 
 def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
                     cap: int, m_max: int, k: int, dense: bool,
-                    cap_hits: int | None = None, filters_fine=None):
+                    cap_hits: int | None = None, filters_fine=None,
+                    widths: tuple[int, ...] | None = None):
     """Fused multi-motif scan body on an in-register chunk (shared by
     the single-chip segment loop and the mesh shard path).
 
@@ -479,7 +527,8 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         # saturates the genome above ~1k motifs, which forced small
         # motif groups); candidates land near true-discrete-hit density
         maxv = multi_kernel.prefilter_any16(
-            chunk, filters_fine[0], filters_fine[1], m_max, k)
+            chunk, filters_fine[0], filters_fine[1], m_max, k,
+            widths=widths)
     else:
         maxv = multi_kernel.prefilter_any(chunk, filters_t, m_max, k)
     any_mask = maxv.reshape(-1) >= 0
@@ -521,10 +570,28 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         xb = x.astype(jnp.bfloat16)
         if filters_fine is not None:
             # u16 refined test: part = sum16 - t16, exactly (byte
-            # matmuls; see pack_filters_fine)
-            part = 256.0 * jnp.dot(
-                xb, fine_hi, preferred_element_type=jnp.float32,
-            ) + jnp.dot(xb, fine_lo, preferred_element_type=jnp.float32)
+            # matmuls; see pack_filters_fine).  Ragged widths mirror
+            # the prefilter kernel: contraction block b only multiplies
+            # the last widths[b] motif lanes (the suffix long enough to
+            # reach it)
+            ws = widths if widths is not None else (
+                fine_hi.shape[1],) * n_blocks
+            mk = multi_kernel.MAX_MK
+            hi_acc = jnp.dot(xb[:, :mk], fine_hi[:mk],
+                             preferred_element_type=jnp.float32)
+            lo_acc = jnp.dot(xb[:, :mk], fine_lo[:mk],
+                             preferred_element_type=jnp.float32)
+            for b in range(1, n_blocks):
+                s_b = fine_hi.shape[1] - ws[b]
+                ph = jnp.dot(xb[:, b * mk:(b + 1) * mk],
+                             fine_hi[b * mk:(b + 1) * mk, s_b:],
+                             preferred_element_type=jnp.float32)
+                pl_ = jnp.dot(xb[:, b * mk:(b + 1) * mk],
+                              fine_lo[b * mk:(b + 1) * mk, s_b:],
+                              preferred_element_type=jnp.float32)
+                hi_acc = hi_acc.at[:, s_b:].add(ph)
+                lo_acc = lo_acc.at[:, s_b:].add(pl_)
+            part = 256.0 * hi_acc + lo_acc
         else:
             part = jnp.dot(
                 xb, filt_bf, preferred_element_type=jnp.float32,

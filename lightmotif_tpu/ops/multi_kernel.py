@@ -211,7 +211,7 @@ def _any_kernel(filt_ref, b0_ref, b1_ref, out_ref, *, m_max, k, tile):
 
 
 def _any16_kernel(hi_ref, lo_ref, b0_ref, b1_ref, out_ref, *,
-                  m_max, k, tile):
+                  m_max, k, tile, widths=None):
     """u16 variant of :func:`_any_kernel`: the same transposed one-hot
     drives TWO matmuls against the hi/lo byte planes of the u16
     discretization (:func:`.multi.fine_discretize`), and the combined
@@ -226,6 +226,16 @@ def _any16_kernel(hi_ref, lo_ref, b0_ref, b1_ref, out_ref, *,
     (at M ~ 4700 the u8 union covers ~87% of genome positions; the
     candidate list -- and every [cap]-scale stage after it -- shrinks
     to roughly the true discrete-hit density).
+
+    ``widths`` (optional, one per contraction block, non-increasing,
+    ``widths[0] == m_pad``): ragged contraction -- block ``b``'s
+    matmuls only cover the LAST ``widths[b]`` motif lanes.  Groups are
+    length-sorted, so motifs long enough to reach block ``b`` form a
+    suffix; on JASPAR2024 only ~8% of live motifs exceed 16 rows, so
+    blocks 1+ shrink from 2048 lanes to 256/128 and the prefilter does
+    ~40% of the full-width MXU work.  Rows whose motifs need no
+    further block fold into the running max as soon as their last
+    block lands, keeping the live accumulator at the suffix width.
     """
     w = m_max - 1
     lanes = _lanes_for(k)
@@ -239,7 +249,14 @@ def _any16_kernel(hi_ref, lo_ref, b0_ref, b1_ref, out_ref, *,
     smap = sub % lanes
     is_const = sub == (lanes - 1)
     n_blocks = -(-m_max // rpb)
+    m_pad = hi_ref.shape[1]
+    if widths is None:
+        widths = (m_pad,) * n_blocks
+    assert widths[0] == m_pad and len(widths) == n_blocks
+    assert all(a >= b for a, b in zip(widths, widths[1:])), widths
     hi_s = lo_s = None
+    best = None
+    cur = 0  # first motif lane still accumulating
     for b in range(n_blocks):
         blocks = []
         for r in range(rpb):
@@ -252,16 +269,32 @@ def _any16_kernel(hi_ref, lo_ref, b0_ref, b1_ref, out_ref, *,
             oh = oh | is_const
         ohb = oh.astype(jnp.bfloat16)
         dn = (((0,), (0,)), ((), ()))
+        s_b = m_pad - widths[b]
         ph = jax.lax.dot_general(
-            hi_ref[b * MAX_MK:(b + 1) * MAX_MK, :], ohb,
+            hi_ref[b * MAX_MK:(b + 1) * MAX_MK, s_b:], ohb,
             dimension_numbers=dn, preferred_element_type=jnp.float32)
         pl_ = jax.lax.dot_general(
-            lo_ref[b * MAX_MK:(b + 1) * MAX_MK, :], ohb,
+            lo_ref[b * MAX_MK:(b + 1) * MAX_MK, s_b:], ohb,
             dimension_numbers=dn, preferred_element_type=jnp.float32)
-        hi_s = ph if hi_s is None else hi_s + ph
-        lo_s = pl_ if lo_s is None else lo_s + pl_
+        if b == 0:
+            hi_s, lo_s = ph, pl_
+            continue
+        if s_b > cur:
+            # motif lanes [cur, s_b) got their last contribution in an
+            # earlier block: fold them into the running max and shrink
+            # the accumulator to the still-live suffix
+            done = 256.0 * hi_s[: s_b - cur] + lo_s[: s_b - cur]
+            mx = jnp.max(done, axis=0, keepdims=True)
+            best = mx if best is None else jnp.maximum(best, mx)
+            hi_s = hi_s[s_b - cur:]
+            lo_s = lo_s[s_b - cur:]
+            cur = s_b
+        hi_s = hi_s + ph
+        lo_s = lo_s + pl_
     part16 = 256.0 * hi_s + lo_s
-    out_ref[:] = jnp.max(part16, axis=0, keepdims=True).astype(jnp.int32)
+    mx = jnp.max(part16, axis=0, keepdims=True)
+    best = mx if best is None else jnp.maximum(best, mx)
+    out_ref[:] = best.astype(jnp.int32)
 
 
 def _tile_for(m_pad: int, n_blocks: int = 1) -> int:
@@ -326,9 +359,11 @@ def prefilter_any(seq, filters_t, m_max: int, k: int,
     )(filters_t.astype(jnp.bfloat16), view, view)
 
 
-@functools.partial(jax.jit, static_argnames=("m_max", "k", "tile"))
+@functools.partial(jax.jit, static_argnames=("m_max", "k", "tile",
+                                              "widths"))
 def prefilter_any16(seq, f_hi, f_lo, m_max: int, k: int,
-                    tile: int | None = None):
+                    tile: int | None = None,
+                    widths: tuple[int, ...] | None = None):
     """u16-resolution ``max_mo (sum16 - t16)`` as int32 ``[1, Lp]``.
 
     ``f_hi``/``f_lo``: byte-plane filters from
@@ -337,7 +372,11 @@ def prefilter_any16(seq, f_hi, f_lo, m_max: int, k: int,
     motif iff the output is >= 0; the u16 test has no false negatives
     vs the exact f32 threshold (see :func:`.multi.fine_discretize`),
     so this is a drop-in, ~256x tighter replacement for
-    :func:`prefilter_any`."""
+    :func:`prefilter_any`.
+
+    ``widths``: optional per-contraction-block motif-lane suffix
+    widths (:func:`.multi.ragged_widths`) -- blocks past the first
+    multiply only the motifs long enough to reach them."""
     from . import kernels
 
     lp = seq.shape[0]
@@ -348,7 +387,8 @@ def prefilter_any16(seq, f_hi, f_lo, m_max: int, k: int,
     assert lp % tile == 0
     grid = lp // tile
     view = seq.reshape(1, lp)
-    kernel = functools.partial(_any16_kernel, m_max=m_max, k=k, tile=tile)
+    kernel = functools.partial(_any16_kernel, m_max=m_max, k=k, tile=tile,
+                               widths=widths)
     return pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -152,6 +152,9 @@ _SEG = 512
 #: the full-length sort (nonzero) beyond it.
 _DENSE_SEARCH_CAP = 1 << 17
 
+#: Queries per searchsorted block in the dense path's live loop.
+_QUERY_BLOCK = 1 << 12
+
 
 def threshold_positions(scores: jax.Array, threshold, cap: int,
                         dense: bool = False):
@@ -193,9 +196,32 @@ def compact_mask(mask: jax.Array, cap: int, dense: bool = False):
             # takes over when cap is within a factor ~32 of N
             csum = jnp.cumsum(mask.astype(jnp.int32))
             count = csum[-1]
-            idx = jnp.searchsorted(
-                csum, jnp.arange(1, cap + 1, dtype=jnp.int32),
-                side="left").astype(jnp.int32)
+            if cap >= 4 * _QUERY_BLOCK:
+                # blocked queries: searchsorted gathers are the cost
+                # (cap x log2(N) random reads), and a retry-ratcheted
+                # cap routinely sits 1.6x above the live count --
+                # loop over live 4096-query blocks only, so device
+                # cost tracks the actual set-bit count
+                qblk = _QUERY_BLOCK
+                cap_pad = -(-cap // qblk) * qblk
+                live = jnp.minimum(
+                    (count + qblk - 1) // qblk, cap_pad // qblk)
+
+                def body(i, out):
+                    q = i * qblk + jnp.arange(1, qblk + 1,
+                                              dtype=jnp.int32)
+                    idx_b = jnp.searchsorted(
+                        csum, q, side="left").astype(jnp.int32)
+                    return jax.lax.dynamic_update_slice(
+                        out, idx_b, (i * qblk,))
+
+                idx = jax.lax.fori_loop(
+                    0, live, body,
+                    jnp.full((cap_pad,), orig_n, jnp.int32))[:cap]
+            else:
+                idx = jnp.searchsorted(
+                    csum, jnp.arange(1, cap + 1, dtype=jnp.int32),
+                    side="left").astype(jnp.int32)
             idx = jnp.where(jnp.arange(cap) < count, idx, orig_n)
             return count, idx, jnp.bool_(True)
         count = jnp.sum(mask.astype(jnp.int32))

@@ -351,11 +351,11 @@ def sharded_argmax(
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "cap", "cap_hits", "m_max", "k",
-                     "mesh_holder", "dense"),
+                     "mesh_holder", "dense", "widths"),
 )
 def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
                         filters_fine, chunk, cap, cap_hits, m_max, k,
-                        mesh_holder, dense=False):
+                        mesh_holder, dense=False, widths=None):
     from ..ops import multi
 
     mesh = mesh_holder.mesh
@@ -367,7 +367,7 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
         nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
         counts, packed = multi.scan_multi_core(
             seq, nv, filters_t, pssms, thresholds, cap, m_max, k,
-            dense, cap_hits, filters_fine)
+            dense, cap_hits, filters_fine, widths)
         packed = packed.at[0].add(d * chunk)
         # replicate counters so every host process of a multi-host mesh
         # takes identical retry decisions
@@ -534,6 +534,7 @@ class ShardedMultiScanner:
                     "ids": ids,
                     "m_bucket": g["m_max"],
                     "m_pad": g["f_hi"].shape[1],
+                    "widths": g["widths"],
                     "pssm": jnp.asarray(g["pssm"]),
                     "th": jnp.asarray(g["th"]),
                     "filters": (jnp.asarray(g["f_hi"]),
@@ -631,7 +632,7 @@ class ShardedMultiScanner:
             counts, packed = _sharded_multi_impl(
                 st["shards"], None, grp["pssm"], grp["th"], nv,
                 grp["filters"], st["chunk"], g_cap, g_cap_hits,
-                grp["m_bucket"], k, holder, dense)
+                grp["m_bucket"], k, holder, dense, grp["widths"])
             width = head_width(self._head_hint.get(gi, 0),
                                g_cap_hits)
             head = (packed[:, :, :width]

@@ -728,6 +728,7 @@ class MultiScanner:
                         "ids": ids,
                         "count": g["count"],
                         "m_max": g["m_max"],
+                        "widths": g["widths"],
                         "filt16": (jnp.asarray(g["f_hi"]),
                                    jnp.asarray(g["f_lo"])),
                         "pssm": jnp.asarray(g["pssm"]),
@@ -754,7 +755,7 @@ class MultiScanner:
                     data, np.int32(off), jnp.asarray(n_here2d),
                     None, group["pssm"], group["th"],
                     chunk_len, cap, group["m_max"], k, dense,
-                    cap_hits, group["filt16"])
+                    cap_hits, group["filt16"], group["widths"])
             return multi.scan_multi_segment(
                 data, np.int32(off), jnp.asarray(n_here), dm_dev,
                 pssm_dev, len_dev, ts_dev, th_dev, chunk_len,

@@ -916,3 +916,131 @@ def test_head_hint_covers_steady_state_hits(genome):
     assert np.array_equal(mo, mo2)
     assert np.array_equal(pos, pos2)
     assert np.array_equal(sc, sc2)
+
+
+def _ragged_motif_set(rng, n_short=246, n_long=8, n_xlong=2):
+    """A length-sorted motif set whose contraction blocks are ragged:
+    most motifs fit block 0 (m <= 16), a handful reach block 1, two
+    reach block 2 (m = 33)."""
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+
+    def mk(width):
+        sites = ["".join("ACTG"[j] for j in rng.integers(0, 4, size=width))
+                 for _ in range(4)]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        return cm.to_freq(0.1).to_scoring(None)
+
+    widths = ([int(w) for w in rng.integers(6, 15, size=n_short)]
+              + [int(w) for w in rng.integers(17, 25, size=n_long)]
+              + [33] * n_xlong)
+    return [mk(w) for w in sorted(widths)]
+
+
+def test_ragged_widths_values():
+    """ragged_widths derives per-block suffix widths from filter
+    content: 128-lane-aligned, non-increasing, covering every nonzero
+    column."""
+    from lightmotif_tpu.ops import multi
+
+    rng = np.random.default_rng(71)
+    motifs = _ragged_motif_set(rng)
+    k = 5
+    stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    g = multi.pack_motif_group(
+        np.arange(len(motifs)), len(motifs), int(lengths.max()),
+        stack, np.full(len(motifs), -20.0, np.float32), k)
+    widths = g["widths"]
+    m_pad = g["f_hi"].shape[1]
+    assert m_pad == 256 and len(widths) == 3
+    assert widths[0] == m_pad
+    assert widths[1] == 128 and widths[2] == 128  # 10 long motifs
+    # every nonzero filter column of block b lies within the suffix
+    for b, w in enumerate(widths):
+        rows = slice(b * 128, (b + 1) * 128)
+        nz = (np.abs(g["f_hi"][rows]) + np.abs(g["f_lo"][rows])).any(0)
+        assert not nz[: m_pad - w].any()
+
+
+def test_ragged_widths_zero_middle_block():
+    """A motif whose block-1 rows discretize to all-zero but whose
+    block-2 rows do not must still widen block 1 (non-increasing
+    widths are a kernel invariant)."""
+    from lightmotif_tpu.ops import multi
+
+    k = 5
+    m = 33
+    # 240 trivially short motifs + 1 crafted long one at the END
+    stack = np.zeros((241, m, k), np.float32)
+    stack[:, :6, :4] = np.linspace(0.5, 2.0, 241)[:, None, None]
+    crafted = np.zeros((m, k), np.float32)
+    crafted[:16, :4] = [1.0, 2.0, 3.0, 4.0]   # block 0: content
+    crafted[16:32] = 0.25                     # block 1: uniform rows
+    crafted[32, :4] = [5.0, 1.0, 1.0, 1.0]    # block 2: content
+    stack[-1] = crafted
+    g = multi.pack_motif_group(
+        np.arange(241), 241, m, stack,
+        np.full(241, -5.0, np.float32), k)
+    widths = g["widths"]
+    assert len(widths) == 3
+    # block 2 needs the last motif; block 1 must cover at least that
+    assert widths[1] >= widths[2] >= 128
+    rows2 = slice(2 * 128, 3 * 128)
+    nz2 = (np.abs(g["f_hi"][rows2]) + np.abs(g["f_lo"][rows2])).any(0)
+    assert nz2.any()
+    assert not nz2[: g["f_hi"].shape[1] - widths[2]].any()
+
+
+def test_ragged_prefilter_and_core_parity():
+    """prefilter_any16 and scan_multi_segment_fused produce identical
+    results with ragged widths and with full widths."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import kernels, multi, multi_kernel
+
+    rng = np.random.default_rng(72)
+    motifs = _ragged_motif_set(rng)
+    k = 5
+    stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    m_max = int(lengths.max())
+    ths = np.full(len(motifs), -8.0, np.float32)
+    g = multi.pack_motif_group(
+        np.arange(len(motifs)), len(motifs), m_max, stack, ths, k)
+    assert g["widths"][1] < g["f_hi"].shape[1]  # raggedness engages
+
+    tile = 8192  # the auto _tile_for choice at this m_pad/block count
+    data = rng.integers(0, 4, size=tile, dtype=np.int8)
+    seq = jnp.asarray(data)
+    n_here = np.zeros((1, g["f_hi"].shape[1]), np.int32)
+    n_here[0, : len(motifs)] = np.maximum(
+        data.size - lengths + 1, 0)
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        f_hi = jnp.asarray(g["f_hi"])
+        f_lo = jnp.asarray(g["f_lo"])
+        full = np.asarray(multi_kernel.prefilter_any16(
+            seq, f_hi, f_lo, m_max, k, tile=tile))
+        ragged = np.asarray(multi_kernel.prefilter_any16(
+            seq, f_hi, f_lo, m_max, k, tile=tile,
+            widths=g["widths"]))
+        assert np.array_equal(full, ragged)
+
+        args = (seq, np.int32(0), jnp.asarray(n_here), None,
+                jnp.asarray(g["pssm"]), jnp.asarray(g["th"]))
+        kw = dict(chunk_len=tile, cap=4096, m_max=m_max, k=k,
+                  dense=False, cap_hits=4096,
+                  filters_fine=(f_hi, f_lo))
+        c_full, p_full = multi.scan_multi_segment_fused(*args, **kw)
+        c_rag, p_rag = multi.scan_multi_segment_fused(
+            *args, **kw, widths=g["widths"])
+        assert np.array_equal(np.asarray(c_full), np.asarray(c_rag))
+        assert np.array_equal(np.asarray(p_full), np.asarray(p_rag))
+        n_kept = int(np.asarray(c_rag)[2])
+        assert n_kept > 0  # the comparison is not vacuous
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
