@@ -181,6 +181,121 @@ def secondary_metrics(pssm, seq, genome_len):
     return out
 
 
+def parity_pregate():
+    """On-chip bit-parity sweep across every kernel variant the package
+    ships (round-3 verdict item: CI runs Pallas under the CPU
+    interpreter, so a real-TPU-only Mosaic miscompile could otherwise
+    ship silently).  Small inputs -- chip time is well under a second;
+    the handful of small programs compile once and then load from the
+    persistent cache.  Returns a dict of failures (empty == all good):
+    bench.py refuses to emit a headline number if ANY variant diverges.
+
+    Variants (reference pattern: ``lightmotif/tests/dna.rs:40-63``
+    instantiates every pipeline test per backend):
+
+    * protein K=21 f32 kernel (3 gather table groups + range selects)
+    * DNA m=40 f32 kernel (auto-shrunk block_lanes past m=32)
+    * fused multi-motif scan at m=128 (8 contraction blocks) and at
+      database shape (260 motifs -> ragged contraction widths), both
+      vs the brute-force host oracle -- this covers the u16 prefilter,
+      phase C, extraction, and exact rescore end-to-end
+    * mesh-of-1 sharded scan vs the host threshold oracle
+    """
+    import jax
+
+    from lightmotif_tpu import CountMatrix, EncodedSequence
+    from lightmotif_tpu.ops import kernels, xla_ops
+
+    fails = {}
+    rng = np.random.default_rng(0xA11CE)
+
+    def dna_pssm(m, n_sites=4):
+        sites = ["".join("ACTG"[c] for c in rng.integers(0, 4, size=m))
+                 for _ in range(n_sites)]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        return cm.to_freq(0.1).to_weight(None).to_scoring()
+
+    def check_kernel(tag, pssm, enc):
+        n = len(enc) - len(pssm) + 1
+        lp = xla_ops.pad_length(len(enc), kernels.preferred_pad())
+        flat = np.full(lp, pssm.alphabet.default_index, np.int8)
+        flat[: len(enc)] = enc.data
+        got = np.asarray(jax.jit(
+            lambda s, p: kernels.score_f32(s, p, n)
+        )(flat, np.asarray(pssm.data, np.float32)))[:n]
+        host = np.asarray(pssm.score_host(enc))
+        if not np.array_equal(got, host):
+            fails[tag] = int(np.argmin(got == host))
+
+    # 1. protein K=21 (three gather table groups)
+    from lightmotif_tpu.alphabet import PROTEIN
+
+    alpha = PROTEIN.symbols[:-1]
+    sites = ["".join(alpha[c] for c in rng.integers(0, 20, size=12))
+             for _ in range(4)]
+    cm = CountMatrix.from_sequences(
+        EncodedSequence.encode(s, PROTEIN) for s in sites)
+    prot_pssm = cm.to_freq(0.1).to_weight(None).to_scoring()
+    prot_seq = EncodedSequence(
+        rng.integers(0, 20, size=30_000, dtype=np.uint8), PROTEIN)
+    check_kernel("protein_k21", prot_pssm, prot_seq)
+
+    # 2. DNA m=40: block_lanes auto-shrinks past m=32
+    dna_seq = EncodedSequence(
+        rng.integers(0, 4, size=40_000, dtype=np.uint8))
+    check_kernel("dna_m40", dna_pssm(40), dna_seq)
+
+    # 3. fused multi-motif scans vs brute force (u16 prefilter + phase
+    #    C + extraction + rescore): m=128 (8 contraction blocks) and a
+    #    260-motif set (ragged widths engage at m_pad >= 256)
+    from lightmotif_tpu.scanner import MultiScanner
+
+    def check_multi(tag, pssms, thresholds):
+        hits = MultiScanner(pssms, dna_seq, thresholds).collect()
+        got = [(h.motif, h.position, np.float32(h.score).view(np.int32))
+               for h in hits]
+        want = []
+        for mi, (p, t) in enumerate(zip(pssms, thresholds)):
+            sc = np.asarray(p.score_host(dna_seq))
+            for pos in np.nonzero(sc >= np.float32(t))[0]:
+                want.append((mi, int(pos),
+                             np.float32(sc[pos]).view(np.int32)))
+        if sorted(got) != sorted(want):
+            fails[tag] = (len(got), len(want))
+
+    long_ms = [dna_pssm(128), dna_pssm(100), dna_pssm(17), dna_pssm(9)]
+    check_multi("fused_m128", long_ms,
+                [0.7 * float(p.max_score()) for p in long_ms])
+    many = [dna_pssm(int(w))
+            for w in np.sort(rng.integers(6, 22, size=260))]
+    check_multi("fused_ragged_260", many,
+                [0.8 * float(p.max_score()) for p in many])
+
+    # 4. mesh-of-1 sharded scan on the production kernel geometry
+    try:
+        from lightmotif_tpu.parallel import mesh as pmesh
+
+        p = dna_pssm(15)
+        dm = p.to_discrete()
+        thr = 0.75 * float(p.max_score())
+        ts = int(dm.scale(thr))
+        enc = np.asarray(dna_seq.data, np.int8)
+        pos, sc = pmesh.sharded_scan(
+            np.asarray(p.data, np.float32), np.asarray(dm.data),
+            enc, thr, ts)
+        host = np.asarray(p.score_host(dna_seq))
+        wpos = np.nonzero(host >= np.float32(thr))[0]
+        if not (np.array_equal(np.sort(pos), wpos)
+                and np.array_equal(
+                    np.asarray(sorted(sc)),
+                    np.asarray(sorted(host[wpos])))):
+            fails["mesh_of_1"] = (len(pos), len(wpos))
+    except Exception as e:  # noqa: BLE001
+        fails["mesh_of_1"] = repr(e)[:200]
+    return fails
+
+
 def wait_for_chip(max_wait_s: float = 1500, probe_timeout_s: float = 150):
     """Bounded wait for the tunneled TPU to answer a trivial dispatch.
 
@@ -262,6 +377,17 @@ def main() -> None:
             != KNOWN_BEST_BITS):
         print(json.dumps({"error": "known-answer check failed",
                           "argmax": am, "bits": int(np.float32(mx).view(np.int32))}),
+              file=sys.stderr)
+        raise SystemExit(1)
+
+    # gate 3: per-variant on-chip parity sweep (protein, m=40, fused
+    # m=128, ragged database shape, mesh-of-1) -- a Mosaic regression
+    # on any shipped kernel variant must fail the bench, not ship
+    fails = parity_pregate()
+    if fails:
+        print(json.dumps({"error": "variant parity sweep failed",
+                          "variants": {k: str(v)
+                                       for k, v in fails.items()}}),
               file=sys.stderr)
         raise SystemExit(1)
 

@@ -336,6 +336,48 @@ def bench_batch(ctx):
            round(best, 3), "s", f"{n_hits} hits, one device pass")
 
 
+def bench_batchargmax(ctx):
+    """Batched per-record reductions: 1000 x 10 kb records, (max,
+    argmax) for all records in ONE device program (round-3 verdict
+    item: the single-record 10 kb argmax row is dispatch-floor-bound;
+    this is the throughput shape).  Parity: every record's (max,
+    argmax) must equal the host oracle with the last-max tie rule."""
+    import jax
+
+    from lightmotif_tpu import EncodedSequence
+    from lightmotif_tpu.batch import BatchReducer, _batch_reduce
+    from tools.perf import repeat_time
+
+    pssm = ctx["pssm"]
+    rng = np.random.default_rng(17)
+    n, reclen = 1000, 10_000
+    seqs = [EncodedSequence(rng.integers(0, 4, size=reclen,
+                                         dtype=np.uint8))
+            for _ in range(n)]
+    br = BatchReducer(pssm, seqs)
+    am, mx = br.argmax()
+    for i in (0, 1, n // 2, n - 1):  # spot parity incl. tie rule
+        host = np.asarray(pssm.score_host(seqs[i]))
+        assert np.float32(mx[i]) == host.max(), i
+        assert int(am[i]) == int(np.nonzero(host == host.max())[0][-1])
+
+    def make():
+        import jax.numpy as jnp
+
+        def fn(flat, p, nv, carry):
+            mxx, amm = _batch_reduce(
+                flat, p + carry, nv, br.n, br.slot)
+            return mxx + amm.astype(jnp.float32)
+        return fn, (br._flat, br._pssm_dev, br._n_valid), 0
+
+    per, _ = repeat_time(make, r_lo=8, r_hi=64, trials=3)
+    agg = n * reclen / per
+    record("batchargmax",
+           "per-record max+argmax, 1000 x 10 kb, one program",
+           round(agg / 1e9, 2), "Gpos/s",
+           f"{per*1e3:.2f} ms/batch, {agg / 0.781e9:.0f}x AVX2 10kb row")
+
+
 def bench_multi(ctx):
     import jax
     import jax.numpy as jnp
@@ -802,6 +844,7 @@ WORKLOADS = {
     "clistream": bench_clistream,
     "u8": bench_u8,
     "argmax": bench_argmax,
+    "batchargmax": bench_batchargmax,
     "threshold": bench_threshold,
     "encode": bench_encode,
     "count": bench_count,

@@ -51,7 +51,7 @@ def build():
     "stage", "cap", "cap_hits", "m_max", "k", "dense", "widths"))
 def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
               stage: int, cap: int, cap_hits: int, m_max: int, k: int,
-              dense: bool, carry, widths=None):
+              dense: bool, carry, widths=None, filt8=None):
     f_hi = f_hi + carry * jnp.float32(1e-45)
     thresholds = thresholds + carry * jnp.float32(1e-45)
     chunk_len = chunk.shape[0]
@@ -63,8 +63,12 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
     bpw = multi_kernel.BITS_PER_WORD
     n_words = m_pad // bpw
 
-    maxv = multi_kernel.prefilter_any16(chunk, f_hi, f_lo, m_max, k,
-                                        widths=widths)
+    if filt8 is not None:
+        maxv = multi_kernel.prefilter_any8(
+            chunk, filt8[0], filt8[1], filt8[2], m_max, k, widths=widths)
+    else:
+        maxv = multi_kernel.prefilter_any16(chunk, f_hi, f_lo, m_max, k,
+                                            widths=widths)
     if stage == 1:
         return maxv
     any_mask = maxv.reshape(-1) >= 0
@@ -80,12 +84,12 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
     fine_hi = f_hi.astype(jnp.bfloat16)
     fine_lo = f_lo.astype(jnp.bfloat16)
 
+    pwords = multi.pack_words(chunk)
+
     def phase_c(pos_blk):
         blk = pos_blk.shape[0]
-        safe = jnp.minimum(pos_blk, chunk_len - 1)
-        gidx = jnp.clip(
-            safe[:, None] + jnp.arange(m_max)[None, :], 0, chunk_len - 1)
-        win = chunk[gidx].astype(jnp.int32)
+        safe = jnp.clip(pos_blk, 0, chunk_len - 1)
+        win = multi.gather_windows(pwords, safe, m_max)
         oh = win[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, lanes), 2)
         pad_rows = n_blocks * rpb - m_max
@@ -218,7 +222,7 @@ def main():
                 a[0], a[1], a[2], a[3], a[4], a[5],
                 stage=stage, cap=cap, cap_hits=cap_hits,
                 m_max=g["m_max"], k=k, dense=dense, carry=a[6],
-                widths=g.get("widths"))
+                widths=g.get("widths"), filt8=g.get("filt8"))
             return fn, args, 0
         per, spans = repeat_time(make, r_lo=1, r_hi=3, trials=3)
         print(f"stage {stage} {names[stage]:18s}: {per*1e3:8.2f} ms "

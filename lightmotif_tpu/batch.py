@@ -22,7 +22,7 @@ import numpy as np
 from .scanner import Hit, MultiHit, MultiScanner, Scanner
 from .sequence import EncodedSequence
 
-__all__ = ["BatchScanner", "MultiBatchScanner"]
+__all__ = ["BatchScanner", "BatchReducer", "MultiBatchScanner"]
 
 
 def _concatenate(seqs, gap: int, alphabet, pad_to: int | None = None):
@@ -93,6 +93,107 @@ class BatchScanner:
         for hits in out:
             hits.sort(key=lambda h: h.position)
         return out
+
+
+class BatchReducer:
+    """Per-record ``max``/``argmax`` of one PSSM over many records in
+    ONE device program.
+
+    The reference's 10 kb argmax bench (``lightmotif-bench/dna.rs:
+    77-149``) is dispatch-floor-bound on a single short record here
+    (~6.5 us of fixed program overhead vs ~0.3 us of vector work);
+    short-record *throughput* workloads should reduce the whole batch
+    at once instead.  Records pack into uniform slots of
+    ``max(len) + m - 1`` wildcard-padded positions, the production
+    scoring kernel runs over the concatenation, and two masked row
+    reductions produce per-record results -- only ``2n`` scalars leave
+    the device.
+
+    Tie rule per record: the LAST maximal position wins (the
+    reference's ``>=`` update, ``pli/mod.rs:146``), including when
+    every valid window scores ``-inf`` (ties at ``-inf`` resolve to
+    the last valid start, exactly like the host oracle).  Records
+    shorter than the motif yield ``(-inf, -1)``.
+    """
+
+    def __init__(self, pssm, seqs):
+        import jax
+
+        from .ops import kernels, xla_ops
+
+        self.pssm = pssm
+        m = len(pssm)
+        alphabet = pssm.alphabet
+        seqs = [s if isinstance(s, EncodedSequence)
+                else EncodedSequence(s, alphabet) for s in seqs]
+        if not seqs:
+            raise ValueError("no sequences given")
+        self._lengths = np.asarray([len(s) for s in seqs], np.int64)
+        self.n = len(seqs)
+        # uniform slots: every record starts at i * slot, so the score
+        # array reshapes to [n, slot] for the row reductions.  The
+        # m - 1 tail keeps windows from reading the next record.
+        self.slot = int(self._lengths.max()) + max(m - 1, 0)
+        flat_len = xla_ops.pad_length(
+            self.n * self.slot, kernels.preferred_pad())
+        flat = np.full(flat_len, alphabet.default_index, np.int8)
+        for i, s in enumerate(seqs):
+            start = i * self.slot
+            flat[start:start + len(s)] = np.asarray(s.data, np.int8)
+        self._flat = jax.device_put(flat)
+        self._pssm_dev = jax.device_put(
+            np.asarray(pssm.data, np.float32))
+        self._n_valid = jax.device_put(
+            np.maximum(self._lengths - m + 1, 0).astype(np.int32))
+        self._out = None
+
+    def _reduce(self):
+        if self._out is None:
+            import jax
+
+            mx, am = _batch_reduce(
+                self._flat, self._pssm_dev, self._n_valid,
+                self.n, self.slot)
+            mx, am = jax.device_get((mx, am))
+            self._out = (np.asarray(mx), np.asarray(am))
+        return self._out
+
+    def max(self) -> np.ndarray:
+        """f32 best score per record (``-inf`` when no valid window)."""
+        return self._reduce()[0]
+
+    def argmax(self):
+        """``(positions int64, scores f32)`` per record; position is
+        ``-1`` when the record has no valid window."""
+        mx, am = self._reduce()
+        return am.astype(np.int64), mx
+
+
+def _batch_reduce(flat, pssm, n_valid, n: int, slot: int):
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("n", "slot"))
+    def run(flat, pssm, n_valid, n, slot):
+        import jax.numpy as jnp
+
+        from .ops import kernels
+
+        scores = kernels.score_f32(flat, pssm, n * slot)
+        s = scores[: n * slot].reshape(n, slot)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, slot), 1)
+        s = jnp.where(pos < n_valid[:, None], s, -jnp.inf)
+        mx = jnp.max(s, axis=1)
+        # ties restricted to VALID positions: when mx is -inf the
+        # masked tail compares equal too, and the reference's last-max
+        # rule must land on the last valid start, not the slot edge
+        am = jnp.max(jnp.where((s == mx[:, None])
+                               & (pos < n_valid[:, None]), pos, -1),
+                     axis=1)
+        return mx, am
+
+    return run(flat, pssm, n_valid, n, slot)
 
 
 class MultiBatchScanner:

@@ -55,7 +55,10 @@ __all__ = [
     "fine_discretize",
     "fine_thresholds",
     "pack_filters_fine",
+    "pack_filters_fine_i8",
     "ragged_widths",
+    "pack_words",
+    "gather_windows",
     "pack_motif_group",
     "group_bucket",
 ]
@@ -239,6 +242,50 @@ def pack_filters_fine(data16, t16, k: int):
     return hi, lo
 
 
+def pack_filters_fine_i8(data16, t16, k: int, widths):
+    """int8 byte-plane filters + int32 adjustment for
+    :func:`.multi_kernel.prefilter_any8`.
+
+    Cells shift by -128 into int8 range; every matchable slot of every
+    (j, symbol) group shifts -- including zero-padded motif rows and
+    the groups past ``m_max`` -- because each group contributes exactly
+    one one-hot 1 per position, making the shift a per-motif constant
+    ``-128 * R_mo`` (``R_mo`` = groups whose contraction block covers
+    the motif's lane under the ragged ``widths``).  The constant and
+    the threshold fold into ``adj = 128 * 257 * R_mo - t16`` so the
+    kernel's ``256 * hs + ls + adj`` equals ``sum16 - t16`` exactly
+    for live motifs; never-pass motifs (sentinel > 65535, padded
+    slots) get ``adj = -2^26``, below any reachable ``256*hs + ls``.
+
+    Returns ``(hi8 int8, lo8 int8, adj int32 [m_pad, 1])``.
+    """
+    from . import multi_kernel
+
+    mcount, m_max, _ = data16.shape
+    lanes = multi_kernel._lanes_for(k)
+    rpb = multi_kernel.MAX_MK // lanes
+    bpw = multi_kernel.BITS_PER_WORD
+    m_pad = -(-mcount // bpw) * bpw
+    n_blocks = -(-m_max // rpb)
+    hi = np.zeros((n_blocks * multi_kernel.MAX_MK, m_pad), np.int16)
+    lo = np.zeros_like(hi)
+    for g in range(n_blocks * rpb):
+        r = (g // rpb) * multi_kernel.MAX_MK + (g % rpb) * lanes
+        hi[r:r + k] = -128
+        lo[r:r + k] = -128
+        if g < m_max:
+            hi[r:r + k, :mcount] += (data16[:, g, :] >> 8).T
+            lo[r:r + k, :mcount] += (data16[:, g, :] & 255).T
+    r_mo = np.zeros(m_pad, np.int64)
+    for wd in widths:
+        r_mo[m_pad - wd:] += rpb
+    t = np.full(m_pad, 1 << 26, np.int64)
+    tt = np.asarray(t16, np.int64)
+    t[:mcount] = np.where(tt > 65535, 1 << 26, np.clip(tt, 0, 65535))
+    adj = (128 * 257 * r_mo - t).astype(np.int32).reshape(m_pad, 1)
+    return hi.astype(np.int8), lo.astype(np.int8), adj
+
+
 def stack_motifs(matrices, k: int):
     """Stack per-motif matrices ``[m_i, K]`` into ``[M, m_max, K]`` with
     zero padding, plus the lengths ``[M]``."""
@@ -284,14 +331,19 @@ def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
     # would otherwise saturate the u16 filter and flood the pair stages
     t16 = np.where(unreachable_thresholds(pssm_g, th_g), 65536, t16)
     f_hi, f_lo = pack_filters_fine(d16, t16, k)
+    widths = ragged_widths(f_hi, f_lo, k)
+    hi8, lo8, adj = pack_filters_fine_i8(d16, t16, k, widths)
     return {
         "f_hi": f_hi,
         "f_lo": f_lo,
+        "f_hi8": hi8,
+        "f_lo8": lo8,
+        "adj": adj,
         "pssm": pssm_g,
         "th": th_g,
         "m_max": m_bucket,
         "count": len(ids),
-        "widths": ragged_widths(f_hi, f_lo, k),
+        "widths": widths,
     }
 
 
@@ -368,6 +420,49 @@ def score_multi_u8(seq: jax.Array, dms: jax.Array, lengths: jax.Array,
     return jnp.where(pos < n_valid[None, :], scores, -1)
 
 
+def pack_words(seq: jax.Array):
+    """Pack an int8 rank sequence into int32 words (4 symbols each,
+    little-endian bytes) for gather-frugal window reads.
+
+    A window gather of ``m`` consecutive symbols costs ``m`` random
+    HBM gathers; against the packed words it costs ``(m + 6) // 4``
+    (measured: gathers dominate the rescore/phase-C stages at ~8 ns
+    each, so 33 -> 9 is a ~3.5x cut on the window side).  One vector
+    pass per chunk, amortized inside the same program.
+    """
+    lp = seq.shape[0]
+    pad = (-lp) % 4
+    s = seq if not pad else jnp.concatenate(
+        [seq, jnp.zeros((pad,), seq.dtype)])
+    b = s.astype(jnp.int32).reshape(-1, 4)
+    return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+
+def gather_windows(words: jax.Array, positions: jax.Array, m: int):
+    """``out[i, j] = seq[positions[i] + j]`` (j < m) from packed words.
+
+    ``positions`` must be pre-clipped to ``[0, len(seq) - 1]``; reads
+    past the end return padding bytes, exactly like the clipped direct
+    gather they replace (callers mask those windows downstream).
+    Returns int32 ``[n, m]`` symbol ranks.
+    """
+    n_words = (m + 6) // 4
+    w0 = positions.astype(jnp.int32) >> 2
+    w0 = jnp.minimum(w0, words.shape[0] - n_words)
+    widx = w0[:, None] + jnp.arange(n_words, dtype=jnp.int32)[None, :]
+    w = words[widx]                                   # [n, n_words]
+    r = positions.astype(jnp.int32) - w0 * 4          # byte offset
+    cols = []
+    for j in range(m):
+        off = r + j                     # [n] byte index into the words
+        wi = off >> 2
+        sel = w[:, 0]
+        for c in range(1, n_words):
+            sel = jnp.where(wi == c, w[:, c], sel)
+        cols.append((sel >> ((off & 3) * 8)) & 255)
+    return jnp.stack(cols, axis=1)
+
+
 def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
                   motif_ids: jax.Array, n_live=None) -> jax.Array:
     """Exact f32 scores for (position, motif) candidate pairs.
@@ -396,13 +491,17 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     # per row per j).  Gather volume drops K-fold; the adds still run
     # in ascending-j order over the value columns, so f32 parity with
     # score_position is preserved (selection is exact either way).
+    # Window symbols read from int32-packed words ((m+6)//4 gathers
+    # instead of m: the two gather streams split the stage cost ~50/50
+    # at 8 ns/gather, measured in experiments/rescore_probe.py).
     jj = jnp.arange(m_max, dtype=jnp.int32)
     flat = pssms.reshape(-1)
+    words = pack_words(seq)
 
     def block(args):
         pos_b, mo_b = args
-        gidx = jnp.clip(pos_b[:, None] + jj[None, :], 0, lp - 1)
-        sym = seq[gidx].astype(jnp.int32)            # [blk, m_max]
+        safe = jnp.clip(pos_b, 0, lp - 1)
+        sym = gather_windows(words, safe, m_max)     # [blk, m_max]
         base = mo_b.astype(jnp.int32) * (m_max * k)
         val = flat[base[:, None] + jj[None, :] * k + sym]
         acc = val[:, 0]
@@ -447,7 +546,8 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
                              thresholds, chunk_len: int, cap: int,
                              m_max: int, k: int, dense: bool = False,
                              cap_hits: int | None = None,
-                             filters_fine=None, widths=None):
+                             filters_fine=None, widths=None,
+                             filters_i8=None):
     """Fused-prefilter variant of :func:`scan_multi_segment`.
 
     Uses the Pallas MXU any-candidate prefilter (:mod:`.multi_kernel`):
@@ -459,13 +559,14 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     return scan_multi_core(chunk, n_valid_here, filters_t, pssms,
                            thresholds, cap, m_max, k, dense, cap_hits,
-                           filters_fine, widths)
+                           filters_fine, widths, filters_i8)
 
 
 def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
                     cap: int, m_max: int, k: int, dense: bool,
                     cap_hits: int | None = None, filters_fine=None,
-                    widths: tuple[int, ...] | None = None):
+                    widths: tuple[int, ...] | None = None,
+                    filters_i8=None):
     """Fused multi-motif scan body on an in-register chunk (shared by
     the single-chip segment loop and the mesh shard path).
 
@@ -521,7 +622,13 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
             "exceeds int32 indexing; lower the thresholds or scan "
             "fewer motifs per pass")
 
-    if filters_fine is not None:
+    if filters_i8 is not None:
+        # int8-MXU prefilter: same u16 resolution and candidate set as
+        # prefilter_any16, ~1.5x faster at database shape
+        maxv = multi_kernel.prefilter_any8(
+            chunk, filters_i8[0], filters_i8[1], filters_i8[2],
+            m_max, k, widths=widths)
+    elif filters_fine is not None:
         # u16 prefilter: ~256x tighter than u8, so the ANY-candidate
         # union stays sparse even at database scale (the u8 union
         # saturates the genome above ~1k motifs, which forced small
@@ -549,6 +656,8 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     else:
         filt_bf = filters_t.astype(jnp.bfloat16)
 
+    pwords = pack_words(chunk)
+
     def phase_c(pos_blk):
         """Per-motif hit words for one block of candidate positions.
 
@@ -556,10 +665,8 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         lane = (j % rpb) * lanes + s, block j // rpb) against the same
         folded filters -> part = score - t, exactly."""
         blk = pos_blk.shape[0]
-        safe = jnp.minimum(pos_blk, chunk_len - 1)
-        gidx = jnp.clip(
-            safe[:, None] + jnp.arange(m_max)[None, :], 0, chunk_len - 1)
-        win = chunk[gidx].astype(jnp.int32)  # [blk, m_max]
+        safe = jnp.clip(pos_blk, 0, chunk_len - 1)
+        win = gather_windows(pwords, safe, m_max)  # [blk, m_max]
         oh = win[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, lanes), 2)
         pad_rows = n_blocks * rpb - m_max

@@ -37,9 +37,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["prefilter_any", "prefilter_any16", "pack_filters_any",
-           "pack_slots", "supports_fused", "BITS_PER_WORD", "TILE",
-           "NEG_GUARD"]
+__all__ = ["prefilter_any", "prefilter_any16", "prefilter_any8",
+           "pack_filters_any", "pack_slots", "supports_fused",
+           "BITS_PER_WORD", "TILE", "NEG_GUARD"]
 
 #: Motifs per packed output word (halfword packing keeps the bit-pack
 #: matmul exact in f32).
@@ -295,6 +295,127 @@ def _any16_kernel(hi_ref, lo_ref, b0_ref, b1_ref, out_ref, *,
     mx = jnp.max(part16, axis=0, keepdims=True)
     best = mx if best is None else jnp.maximum(best, mx)
     out_ref[:] = best.astype(jnp.int32)
+
+
+def _any8_kernel(hi_ref, lo_ref, adj_ref, b0_ref, b1_ref, out_ref, *,
+                 m_max, k, tile, widths=None):
+    """int8-MXU variant of :func:`_any16_kernel` (~1.5x at database
+    shape: the int8 matmul path measured ~5x bf16 in isolation;
+    the one-hot construction and i32 epilogue bound the rest).
+
+    The byte planes shift by -128 into int8 range; with exactly one
+    one-hot 1 per (j, symbol-slot) group the shift is a constant
+    ``-128 * R_mo`` per motif (R_mo = slot groups whose contraction
+    block covers the motif's lane under ``widths``), folded into a
+    per-motif int32 adjustment together with the threshold:
+
+        sum16 - t16 = 256*hs + ls + adj,
+        adj = 128 * 257 * R_mo - t16   (never-pass: -2^26).
+
+    No constant-one lane (the bf16 kernel's threshold-fold trick) is
+    needed, so the one-hot is the plain symbol match.  All arithmetic
+    is integer-exact; candidates (sign of the max) and passing values
+    are bit-identical to the u16 bf16 kernel -- only the sentinel
+    values of never-pass motifs differ, and those are negative in both
+    formulations (tested).
+    """
+    w = m_max - 1
+    lanes = _lanes_for(k)
+    rpb = MAX_MK // lanes
+    width = tile + w
+    s0 = b0_ref[:].astype(jnp.int32)
+    halo = b1_ref[:, :w].astype(jnp.int32)
+    seq_row = jnp.concatenate([s0, halo], axis=1)
+    base = jnp.broadcast_to(seq_row, (lanes, width))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (MAX_MK, 1), 0)
+    smap = sub % lanes
+    n_blocks = -(-m_max // rpb)
+    m_pad = hi_ref.shape[1]
+    if widths is None:
+        widths = (m_pad,) * n_blocks
+    assert widths[0] == m_pad and len(widths) == n_blocks
+    assert all(a >= b for a, b in zip(widths, widths[1:])), widths
+    hi_s = lo_s = None
+    best = None
+    cur = 0
+    for b in range(n_blocks):
+        blocks = []
+        for r in range(rpb):
+            j = b * rpb + r
+            blocks.append(base if j == 0 else
+                          pltpu.roll(base, width - j, axis=1))
+        xt = jnp.stack(blocks, axis=0).reshape(MAX_MK, width)
+        oh = (xt[:, :tile] == smap).astype(jnp.int8)
+        dn = (((0,), (0,)), ((), ()))
+        s_b = m_pad - widths[b]
+        ph = jax.lax.dot_general(
+            hi_ref[b * MAX_MK:(b + 1) * MAX_MK, s_b:], oh,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        pl_ = jax.lax.dot_general(
+            lo_ref[b * MAX_MK:(b + 1) * MAX_MK, s_b:], oh,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        if b == 0:
+            hi_s, lo_s = ph, pl_
+            continue
+        if s_b > cur:
+            done = (256 * hi_s[: s_b - cur] + lo_s[: s_b - cur]
+                    + adj_ref[cur:s_b, :])
+            mx = jnp.max(done, axis=0, keepdims=True)
+            best = mx if best is None else jnp.maximum(best, mx)
+            hi_s = hi_s[s_b - cur:]
+            lo_s = lo_s[s_b - cur:]
+            cur = s_b
+        hi_s = hi_s + ph
+        lo_s = lo_s + pl_
+    part = 256 * hi_s + lo_s + adj_ref[cur:, :]
+    mx = jnp.max(part, axis=0, keepdims=True)
+    best = mx if best is None else jnp.maximum(best, mx)
+    out_ref[:] = best
+
+
+@functools.partial(jax.jit, static_argnames=("m_max", "k", "tile",
+                                              "widths"))
+def prefilter_any8(seq, hi8, lo8, adj, m_max: int, k: int,
+                   tile: int | None = None,
+                   widths: tuple[int, ...] | None = None):
+    """int8-MXU ``max_mo (sum16 - t16)`` as int32 ``[1, Lp]``.
+
+    ``hi8``/``lo8``/``adj`` come from
+    :func:`.multi.pack_filters_fine_i8`.  Drop-in candidate-equivalent
+    replacement for :func:`prefilter_any16` (same u16 resolution; the
+    matmuls ride the int8 MXU path)."""
+    from . import kernels
+
+    lp = seq.shape[0]
+    if tile is None:
+        rpb = MAX_MK // _lanes_for(k)
+        # two i32 accumulators live in VMEM, like the two f32 planes
+        tile = _tile_for(2 * hi8.shape[1], -(-m_max // rpb))
+    assert lp % tile == 0
+    grid = lp // tile
+    view = seq.reshape(1, lp)
+    kernel = functools.partial(_any8_kernel, m_max=m_max, k=k, tile=tile,
+                               widths=widths)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, (i + 1) % grid),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, lp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=160 * 1024 * 1024,
+        ),
+        interpret=kernels.INTERPRET,
+    )(hi8, lo8, adj, view, view)
 
 
 def _tile_for(m_pad: int, n_blocks: int = 1) -> int:

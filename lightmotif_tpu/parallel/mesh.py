@@ -355,19 +355,20 @@ def sharded_argmax(
 )
 def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
                         filters_fine, chunk, cap, cap_hits, m_max, k,
-                        mesh_holder, dense=False, widths=None):
+                        mesh_holder, dense=False, widths=None,
+                        filters_i8=None):
     from ..ops import multi
 
     mesh = mesh_holder.mesh
 
     def local(shard, filters_t, pssms, thresholds, n_valid_g,
-              filters_fine):
+              filters_fine, filters_i8):
         d = jax.lax.axis_index("genome")
         seq = shard[0]
         nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
         counts, packed = multi.scan_multi_core(
             seq, nv, filters_t, pssms, thresholds, cap, m_max, k,
-            dense, cap_hits, filters_fine, widths)
+            dense, cap_hits, filters_fine, widths, filters_i8)
         packed = packed.at[0].add(d * chunk)
         # replicate counters so every host process of a multi-host mesh
         # takes identical retry decisions
@@ -377,10 +378,11 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("genome"), P(), P(), P(), P(), P()),
+        in_specs=(P("genome"), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P("genome")),
         check_vma=False,  # pallas_call output has no vma annotation
-    )(shards, filters_t, pssms, thresholds, n_valid_g, filters_fine)
+    )(shards, filters_t, pssms, thresholds, n_valid_g, filters_fine,
+      filters_i8)
 
 
 @functools.partial(
@@ -539,6 +541,9 @@ class ShardedMultiScanner:
                     "th": jnp.asarray(g["th"]),
                     "filters": (jnp.asarray(g["f_hi"]),
                                 jnp.asarray(g["f_lo"])),
+                    "filters8": (jnp.asarray(g["f_hi8"]),
+                                 jnp.asarray(g["f_lo8"]),
+                                 jnp.asarray(g["adj"])),
                 })
         self._dense = []
         for i in dense_idx:
@@ -632,7 +637,8 @@ class ShardedMultiScanner:
             counts, packed = _sharded_multi_impl(
                 st["shards"], None, grp["pssm"], grp["th"], nv,
                 grp["filters"], st["chunk"], g_cap, g_cap_hits,
-                grp["m_bucket"], k, holder, dense, grp["widths"])
+                grp["m_bucket"], k, holder, dense, grp["widths"],
+                grp["filters8"])
             width = head_width(self._head_hint.get(gi, 0),
                                g_cap_hits)
             head = (packed[:, :, :width]

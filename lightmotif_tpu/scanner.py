@@ -731,6 +731,9 @@ class MultiScanner:
                         "widths": g["widths"],
                         "filt16": (jnp.asarray(g["f_hi"]),
                                    jnp.asarray(g["f_lo"])),
+                        "filt8": (jnp.asarray(g["f_hi8"]),
+                                  jnp.asarray(g["f_lo8"]),
+                                  jnp.asarray(g["adj"])),
                         "pssm": jnp.asarray(g["pssm"]),
                         "th": jnp.asarray(g["th"]),
                     })
@@ -755,7 +758,8 @@ class MultiScanner:
                     data, np.int32(off), jnp.asarray(n_here2d),
                     None, group["pssm"], group["th"],
                     chunk_len, cap, group["m_max"], k, dense,
-                    cap_hits, group["filt16"], group["widths"])
+                    cap_hits, group["filt16"], group["widths"],
+                    group["filt8"])
             return multi.scan_multi_segment(
                 data, np.int32(off), jnp.asarray(n_here), dm_dev,
                 pssm_dev, len_dev, ts_dev, th_dev, chunk_len,

@@ -105,3 +105,49 @@ def test_multibatch_dispatch_fetch_pipelined():
     for g, w in zip(got, want):
         for a, b in zip(g, w):
             assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_reducer_matches_host_oracle():
+    """BatchReducer: per-record (max, argmax) in one device program ==
+    per-record host oracle, last-max tie rule included."""
+    from lightmotif_tpu.batch import BatchReducer
+
+    rng = np.random.default_rng(21)
+    pssm = build_pssm()
+    records = _random_records(rng, 40, lo=10, hi=600)
+    # force tie material: one record repeating the same best window
+    best = "GTTGACCTTATCAAC"
+    records.append(EncodedSequence.encode(best + "AC" + best + best))
+    # and one record shorter than the motif
+    records.append(EncodedSequence(
+        rng.integers(0, 4, size=6, dtype=np.uint8)))
+    br = BatchReducer(pssm, records)
+    mx = br.max()
+    am, sc = br.argmax()
+    assert np.array_equal(mx, sc)
+    m = len(pssm)
+    for i, seq in enumerate(records):
+        if len(seq) < m:
+            assert am[i] == -1 and mx[i] == -np.inf
+            continue
+        host = np.asarray(pssm.score_host(seq))
+        assert np.float32(mx[i]) == host.max(), i
+        assert int(am[i]) == int(np.nonzero(host == host.max())[0][-1]), i
+
+
+def test_batch_reducer_all_neginf_record():
+    """A zero-pseudocount PSSM can score every window -inf; the tie
+    must land on the LAST valid start, not the slot edge."""
+    from lightmotif_tpu.batch import BatchReducer
+
+    cm = CountMatrix.from_sequences(
+        [EncodedSequence.encode("AAAA"), EncodedSequence.encode("AAAA")])
+    pssm = cm.to_freq(0.0).to_scoring(None)  # -inf off-consensus
+    rec = EncodedSequence.encode("CCCCCCCCCC")  # every window -inf
+    br = BatchReducer(pssm, [rec, EncodedSequence.encode("CCAAAACC")])
+    am, sc = br.argmax()
+    assert sc[0] == -np.inf
+    assert int(am[0]) == len(rec) - len(pssm)  # last valid start
+    host = np.asarray(pssm.score_host(EncodedSequence.encode("CCAAAACC")))
+    assert np.float32(sc[1]) == host.max()
+    assert int(am[1]) == int(np.nonzero(host == host.max())[0][-1])

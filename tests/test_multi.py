@@ -1044,3 +1044,48 @@ def test_ragged_prefilter_and_core_parity():
     finally:
         kernels.INTERPRET = False
         jax.clear_caches()
+
+
+def test_int8_prefilter_parity():
+    """prefilter_any8 (int8 MXU path) matches prefilter_any16 in
+    candidate signs everywhere and in values wherever the max is
+    achieved by a live motif (never-pass sentinels differ by design,
+    both negative)."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import kernels, multi, multi_kernel
+
+    rng = np.random.default_rng(73)
+    motifs = _ragged_motif_set(rng)
+    k = 5
+    stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    m_max = int(lengths.max())
+    ths = np.full(len(motifs), -6.0, np.float32)
+    # mark a few motifs unreachable to exercise the -2^26 sentinel
+    ths[:3] = 1e6
+    g = multi.pack_motif_group(
+        np.arange(len(motifs)), len(motifs), m_max, stack, ths, k)
+
+    tile = 8192
+    data = rng.integers(0, 5, size=tile, dtype=np.int8)  # incl wildcard
+    seq = jnp.asarray(data)
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        ref = np.asarray(multi_kernel.prefilter_any16(
+            seq, jnp.asarray(g["f_hi"]), jnp.asarray(g["f_lo"]),
+            m_max, k, tile=tile, widths=g["widths"])).reshape(-1)
+        got = np.asarray(multi_kernel.prefilter_any8(
+            seq, jnp.asarray(g["f_hi8"]), jnp.asarray(g["f_lo8"]),
+            jnp.asarray(g["adj"]), m_max, k, tile=tile,
+            widths=g["widths"])).reshape(-1)
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
+    n_valid = data.size - m_max + 1
+    r, o = ref[:n_valid], got[:n_valid]
+    assert np.array_equal(r >= 0, o >= 0)
+    assert (o >= 0).any()  # not vacuous
+    assert np.array_equal(r[o >= 0], o[o >= 0])
