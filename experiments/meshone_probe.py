@@ -48,8 +48,6 @@ def main():
         return best
 
     rep("plain fresh", lambda: Scanner(pssm, seq, threshold=t).collect())
-    sc = Scanner(pssm, seq, threshold=t)
-    rep("plain rebind+collect", lambda: sc.bind(seq).collect())
 
     mesh = pm.make_genome_mesh()
     m = len(pssm)

@@ -197,6 +197,17 @@ class _MeshHolder:
         return isinstance(other, _MeshHolder) and self.mesh == other.mesh
 
 
+def prepare_shards(encoded: np.ndarray, mesh: Mesh, m: int,
+                   wildcard: int, pad_unit: int | None = None):
+    """Shard + upload a genome once; returns ``(shards_dev, chunk,
+    n_scores)`` for :func:`sharded_scan`'s ``prepared`` argument."""
+    unit, halo, _ = _halo_unit(m, pad_unit)
+    shards, chunk, n_scores = shard_sequence(
+        encoded, mesh.devices.size, m, wildcard,
+        pad_multiple=unit, halo=halo)
+    return _put_sharded(shards, mesh), chunk, n_scores
+
+
 def sharded_scan(
     pssm_data: np.ndarray,
     dm_data: np.ndarray,
@@ -206,6 +217,7 @@ def sharded_scan(
     mesh: Mesh | None = None,
     cap: int = 1 << 16,
     pad_unit: int | None = None,
+    prepared=None,
 ):
     """Scan a genome across every device of the mesh; returns
     ``(positions, scores)`` of accepted hits (host arrays).
@@ -218,19 +230,31 @@ def sharded_scan(
     ``pad_unit`` overrides the shard alignment (default: the production
     kernel geometry, so each shard runs the same Pallas program as the
     single-chip scanner; tests pass small units for interpret mode).
+
+    ``prepared``: optional ``(shards_dev, chunk, n_scores)`` from a
+    previous call's :func:`prepare_shards` -- the genome upload
+    dominates a fresh scan's wall on the tunneled chip (the 4.6 MB
+    transfer rides inside the result fetch), so persistent scanners
+    cache it.
     """
     mesh = mesh or make_genome_mesh()
     n_dev = mesh.devices.size
     m = pssm_data.shape[0]
     wildcard = pssm_data.shape[1] - 1
     unit, halo, block_lanes = _halo_unit(m, pad_unit)
-    shards, chunk, n_scores = shard_sequence(
-        encoded, n_dev, m, wildcard, pad_multiple=unit, halo=halo)
-
-    shards_dev = _put_sharded(shards, mesh)
+    if prepared is not None:
+        shards_dev, chunk, n_scores = prepared
+    else:
+        shards_dev, chunk, n_scores = prepare_shards(
+            encoded, mesh, m, wildcard, pad_unit)
     dm_dev = jnp.asarray(dm_data)
     pssm_dev = jnp.asarray(pssm_data.astype(np.float32))
-    dense = False
+    # start dense: per-shard chunks span megabases, so candidates
+    # virtually always spread past the hierarchical pass's segment
+    # capacity and the validity retry doubles the whole device pass
+    # (measured 266 -> ~60 ms on the mesh-of-1 scan); the dense
+    # cumsum + blocked-searchsorted compaction is a few ms
+    dense = True
     while True:
         counts, packed = _sharded_scan_impl(
             shards_dev,
@@ -814,6 +838,18 @@ class ShardedScanner:
         if hasattr(seq, "unstripe"):
             seq = seq.unstripe()
         self.encoded = np.asarray(seq.data, dtype=np.int8)
+        self._prepared = None  # device-cached sharded genome
+
+    def _prep(self):
+        # the 4.6 MB genome upload dominates a fresh scan's wall on the
+        # tunneled chip; shard + upload once per scanner and let every
+        # collect()/max() reuse the device buffers (the single-chip
+        # Scanner caches its scan buffer the same way)
+        if self._prepared is None:
+            self._prepared = prepare_shards(
+                self.encoded, self.mesh, len(self.pssm),
+                self.pssm.alphabet.size - 1, self.pad_unit)
+        return self._prepared
 
     def collect(self):
         from ..scanner import Hit
@@ -828,6 +864,7 @@ class ShardedScanner:
             self.dm.scale(self.threshold),
             mesh=self.mesh,
             pad_unit=self.pad_unit,
+            prepared=self._prep(),
         )
         order = np.argsort(positions, kind="stable")
         return [Hit(int(p), float(s)) for p, s in zip(positions[order], scores[order])]
@@ -846,6 +883,7 @@ class ShardedScanner:
             self.dm.scale(self.threshold),
             mesh=self.mesh,
             pad_unit=self.pad_unit,
+            prepared=self._prep(),
         )
         if positions.size == 0:
             return None

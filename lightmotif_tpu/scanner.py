@@ -249,7 +249,15 @@ class Scanner:
         self.capacity = int(capacity)
         self._dseq = _as_device_seq(seq)
         self._scan_data = None  # lazily-built scan buffer (halo-padded)
-        self._dense = False  # sticky dense-compaction mode
+        # sticky dense-compaction mode, STARTING dense: at genome scale
+        # candidates spread over more segments than the hierarchical
+        # pass's internal capacity on almost every realistic threshold,
+        # and its validity retry costs a full extra dispatch + tunnel
+        # round trip -- while the dense k-th-set-bit compaction
+        # (cumsum + blocked searchsorted) now costs only a few ms.
+        # Measured: mesh-of-1 fresh scan 276 -> ~60 ms after the
+        # equivalent flip (experiments/meshone_probe.py).
+        self._dense = True
         self._t_scaled_override = None  # used by max()
 
     # -- internals ----------------------------------------------------------
