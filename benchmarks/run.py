@@ -370,7 +370,7 @@ def bench_batchargmax(ctx):
             return mxx + amm.astype(jnp.float32)
         return fn, (br._flat, br._pssm_dev, br._n_valid), 0
 
-    per, _ = repeat_time(make, r_lo=8, r_hi=64, trials=3)
+    per, _ = repeat_time(make, r_lo=32, r_hi=256, trials=3)
     agg = n * reclen / per
     record("batchargmax",
            "per-record max+argmax, 1000 x 10 kb, one program",
