@@ -150,38 +150,64 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
     if stage == 3:
         return words
 
-    c0 = min(cap, cap_hits)
-    has_hit = jnp.any(words != 0, axis=1)
-    hit_count, hrows, hvalid = xla_ops.compact_mask(
-        has_hit, c0, dense=True)
-    hsafe = jnp.minimum(hrows, cap - 1)
-    hlive = hrows < cap
-    words_h = jnp.where(hlive[:, None], words[hsafe], 0)
-    wpos_h = jnp.where(hlive, pos_idx[hsafe], chunk_len)
+    mcount_pad = f_hi.shape[1]
+    slots_r = max(8, min(256, cap_hits // 4096))
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (cap, n_words), 1)
+    pcnt = jnp.sum(jax.lax.population_count(words), axis=1)
+    rmax = jnp.max(pcnt)
     if stage == 4:
-        return words_h
+        return pcnt
 
-    wmask = (words_h != 0).reshape(-1)
-    wcount, widx, wvalid = xla_ops.compact_mask(
-        wmask, cap_hits, dense=True)
-    wsafe = jnp.minimum(widx, wmask.shape[0] - 1)
-    wvals = jnp.where(widx < wmask.shape[0],
-                      jnp.take(words_h.reshape(-1), wsafe), 0)
-    wrow = jnp.minimum(wsafe // n_words, c0 - 1)
-    wpos = wpos_h[wrow]
-    wword = wsafe % n_words
+    def ext_body(r, carry):
+        remaining, lanes_out = carry
+        nz = remaining != 0
+        any_nz = jnp.any(nz, axis=1)
+        widx = jnp.argmax(nz, axis=1).astype(jnp.int32)
+        sel = lane_w == widx[:, None]
+        w = jnp.max(jnp.where(sel, remaining, 0), axis=1)
+        low = w & -w
+        bit = jax.lax.population_count(low - 1)
+        lane = jnp.where(any_nz, widx * bpw + bit, mcount)
+        lanes_out = jax.lax.dynamic_update_slice(
+            lanes_out, lane[:, None], (0, r))
+        remaining = jnp.where(sel & any_nz[:, None],
+                              remaining & (remaining - 1), remaining)
+        return remaining, lanes_out
+
+    trips = jnp.minimum(rmax, slots_r)
+    _, lanes_out = jax.lax.fori_loop(
+        0, trips, ext_body,
+        (words, jnp.full((cap, slots_r), mcount, jnp.int32)))
     if stage == 5:
-        return wvals
+        return lanes_out
 
-    lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, bpw), 1)
-    bools = ((wvals[:, None] >> lane16) & 1) != 0
-    flat = bools.reshape(-1)
-    pair_count, pair_idx, pair_valid = xla_ops.compact_mask(
-        flat, cap_hits, dense=True)
-    pair_idx = jnp.minimum(pair_idx, flat.shape[0])
-    rows = jnp.minimum(pair_idx // bpw, cap_hits - 1)
-    positions = wpos[rows]
-    motif_ids = jnp.minimum(wword[rows] * bpw + pair_idx % bpw, mcount - 1)
+    counts_c = jnp.minimum(pcnt, slots_r)
+    cs = jnp.cumsum(counts_c)
+    pair_count = cs[-1]
+    flat_n = cap * slots_r
+    qblk = 4096
+    cap_hpad = -(-cap_hits // qblk) * qblk
+    q_live = jnp.minimum((pair_count + qblk - 1) // qblk,
+                         cap_hpad // qblk)
+
+    def q_body(i, out):
+        q = i * qblk + jnp.arange(1, qblk + 1, dtype=jnp.int32)
+        row = jnp.searchsorted(cs, q, side="left").astype(jnp.int32)
+        row = jnp.minimum(row, cap - 1)
+        slot = q - 1 - (cs[row] - counts_c[row])
+        idx_b = row * slots_r + jnp.minimum(slot, slots_r - 1)
+        return jax.lax.dynamic_update_slice(out, idx_b, (i * qblk,))
+
+    pair_idx = jax.lax.fori_loop(
+        0, q_live, q_body,
+        jnp.full((cap_hpad,), flat_n, jnp.int32))[:cap_hits]
+    pair_idx = jnp.where(
+        jnp.arange(cap_hits) < pair_count, pair_idx, flat_n)
+    safe_idx = jnp.minimum(pair_idx, flat_n - 1)
+    rows = safe_idx // slots_r
+    positions = jnp.where(pair_idx < flat_n, pos_idx[rows], chunk_len)
+    motif_ids = jnp.minimum(
+        jnp.take(lanes_out.reshape(-1), safe_idx), mcount - 1)
     if stage == 6:
         return positions
 
@@ -190,7 +216,7 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
     if stage == 7:
         return fscores
     keep = (
-        (pair_idx < flat.shape[0])
+        (pair_idx < flat_n)
         & (positions < n_valid_here[0, motif_ids])
         & (fscores >= thresholds[motif_ids])
     )

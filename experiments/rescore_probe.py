@@ -90,6 +90,33 @@ def rescore_variant(chunk, pssms, positions, motif_ids, n_live, carry,
             for j in range(1, m_max):
                 acc = acc + val[:, j]
             return acc
+        if variant == "slice_gather":
+            from lightmotif_tpu.ops import multi as _m
+            words = _m.pack_words(chunk)
+            safe = jnp.clip(pos_b, 0, lp - 1)
+            sym = _m.gather_windows(words, safe, m_max)
+            base = mo_b.astype(jnp.int32) * (m_max * k)
+            table = jax.vmap(
+                lambda b: jax.lax.dynamic_slice(flat, (b,), (m_max * k,))
+            )(base)  # [blk, m*k] contiguous per-pair slice
+            acc = None
+            for j in range(m_max):
+                v = table[:, j * k + k - 1]
+                for s in range(k - 2, -1, -1):
+                    v = jnp.where(sym[:, j] == s, table[:, j * k + s], v)
+                acc = v if acc is None else acc + v
+            return acc
+        if variant == "packed_base":
+            from lightmotif_tpu.ops import multi as _m
+            words = _m.pack_words(chunk)
+            safe = jnp.clip(pos_b, 0, lp - 1)
+            sym = _m.gather_windows(words, safe, m_max)
+            base = mo_b.astype(jnp.int32) * (m_max * k)
+            val = flat[base[:, None] + jj[None, :] * k + sym]
+            acc = val[:, 0]
+            for j in range(1, m_max):
+                acc = acc + val[:, j]
+            return acc
         sym = chunk[gidx].astype(jnp.int32)
         base = mo_b.astype(jnp.int32) * (m_max * k)
         val = flat[base[:, None] + jj[None, :] * k + sym]
@@ -120,9 +147,8 @@ def rescore_variant(chunk, pssms, positions, motif_ids, n_live, carry,
 
 def main():
     chunk, pssms, pos, mo, n_live = build()
-    for variant in ("base", "sym_only", "val_only", "nogather"):
-        for blk in ((4096, 8192, 16384) if variant == "base"
-                    else (4096,)):
+    for variant in ("packed_base", "slice_gather"):
+        for blk in ((4096,)):
             def make():
                 fn = lambda c, p, po, m, cr: rescore_variant(
                     c, p, po, m, n_live, cr, blk=blk, variant=variant)

@@ -761,59 +761,95 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     # everything below scales with cap_hits (actual hits), not with
     # the candidate capacity: at database scale candidates can cover a
     # quarter of the genome (cap ~ 1M) while real discrete hits stay
-    # in the tens of thousands -- the round-2 formulation ran the word
-    # sort, bit sort, rescore, and final argsort all at [cap] and
-    # cost ~1.9 s/group; at [cap_hits] the same stages are ~50 ms.
+    # in the tens of thousands.
     if cap_hits is None:
         cap_hits = cap
 
-    # level 0: positions that hit ANY motif (cheap [cap] reduction);
-    # hit positions are a subset of candidates, so this stage never
-    # needs more than min(cap, cap_hits) slots -- keeping the level-1
-    # word domain c0*W small even when pairs ratchet cap_hits high
-    c0 = min(cap, cap_hits)
-    has_hit = jnp.any(words != 0, axis=1)
-    hit_count, hrows, hvalid = xla_ops.compact_mask(
-        has_hit, c0, dense=True)
-    hsafe = jnp.minimum(hrows, cap - 1)
-    hlive = hrows < cap
-    words_h = jnp.where(hlive[:, None], words[hsafe], 0)  # [c0, W]
-    wpos_h = jnp.where(hlive, pos_idx[hsafe], chunk_len)
+    # pair extraction (round 4): iterated lowest-set-bit slots.  The
+    # previous three compaction levels (hit rows -> nonzero words ->
+    # set bits) paid three cumsum+searchsorted passes whose random
+    # gathers dominated the stage (~37 ms on jasparfull); instead, R
+    # vector passes over the [cap, W] word matrix peel each candidate
+    # row's pairs into a [cap, R] slot grid (ascending (word, bit) ==
+    # ascending motif lane), and ONE compaction over the slot mask
+    # yields the front-compacted pair list.  R rides the cap_hits
+    # ratchet (R = cap_hits / 4096): rows with more pairs than R
+    # report hit_need = rmax * 4096 > cap_hits, so the existing retry
+    # grows both together -- no new state.
+    slots_r = max(64, min(256, cap_hits // 4096))
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (cap, n_words), 1)
+    pcnt = jnp.sum(jax.lax.population_count(words), axis=1)  # [cap]
+    rmax = jnp.max(pcnt)
 
-    # level 1: nonzero words of the surviving positions
-    wmask = (words_h != 0).reshape(-1)  # [c0 * W]
-    wcount, widx, wvalid = xla_ops.compact_mask(
-        wmask, cap_hits, dense=True)
-    wsafe = jnp.minimum(widx, wmask.shape[0] - 1)
-    wvals = jnp.where(widx < wmask.shape[0],
-                      jnp.take(words_h.reshape(-1), wsafe), 0)
-    wrow = jnp.minimum(wsafe // n_words, c0 - 1)
-    wpos = wpos_h[wrow]
-    wword = wsafe % n_words
+    def ext_body(r, carry):
+        remaining, lanes_out = carry
+        nz = remaining != 0
+        any_nz = jnp.any(nz, axis=1)
+        widx = jnp.argmax(nz, axis=1).astype(jnp.int32)  # first nonzero
+        sel = lane_w == widx[:, None]
+        w = jnp.max(jnp.where(sel, remaining, 0), axis=1)
+        low = w & -w
+        bit = jax.lax.population_count(low - 1)
+        lane = jnp.where(any_nz, widx * bpw + bit, mcount)
+        lanes_out = jax.lax.dynamic_update_slice(
+            lanes_out, lane[:, None], (0, r))
+        remaining = jnp.where(sel & any_nz[:, None],
+                              remaining & (remaining - 1), remaining)
+        return remaining, lanes_out
 
-    # level 2: set bits of the surviving words
-    lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, bpw), 1)
-    bools = ((wvals[:, None] >> lane16) & 1) != 0  # [cap_hits, 16]
-    flat = bools.reshape(-1)
-    pair_count, pair_idx, pair_valid = xla_ops.compact_mask(
-        flat, cap_hits, dense=True)
-    pair_idx = jnp.minimum(pair_idx, flat.shape[0])
+    # loop only while some row still has unextracted pairs: the trip
+    # count tracks the actual worst row, not the static R
+    trips = jnp.minimum(rmax, slots_r)
+    _, lanes_out = jax.lax.fori_loop(
+        0, trips, ext_body,
+        (words, jnp.full((cap, slots_r), mcount, jnp.int32)))
 
-    rows = jnp.minimum(pair_idx // bpw, cap_hits - 1)
-    positions = wpos[rows]
-    motif_ids = jnp.minimum(wword[rows] * bpw + pair_idx % bpw, mcount - 1)
+    # row-structured compaction: the slot mask is a per-row prefix, so
+    # the k-th pair resolves with ONE searchsorted over the per-row
+    # count cumsum ([cap] elements, 16 rounds) instead of a cumsum +
+    # search over the [cap * R] flat mask (22 rounds over 4M+): the
+    # random search gathers are the cost, and this more than halves
+    # them (33 -> ~14 ms measured on jasparfull)
+    counts_c = jnp.minimum(pcnt, slots_r)
+    cs = jnp.cumsum(counts_c)  # [cap] inclusive
+    pair_count = cs[-1]
+    flat_n = cap * slots_r
+    qblk = 4096
+    cap_hpad = -(-cap_hits // qblk) * qblk
+    q_live = jnp.minimum((pair_count + qblk - 1) // qblk,
+                         cap_hpad // qblk)
+
+    def q_body(i, out):
+        q = i * qblk + jnp.arange(1, qblk + 1, dtype=jnp.int32)
+        row = jnp.searchsorted(cs, q, side="left").astype(jnp.int32)
+        row = jnp.minimum(row, cap - 1)
+        slot = q - 1 - (cs[row] - counts_c[row])
+        idx_b = row * slots_r + jnp.minimum(slot, slots_r - 1)
+        return jax.lax.dynamic_update_slice(out, idx_b, (i * qblk,))
+
+    pair_idx = jax.lax.fori_loop(
+        0, q_live, q_body,
+        jnp.full((cap_hpad,), flat_n, jnp.int32))[:cap_hits]
+    pair_idx = jnp.where(
+        jnp.arange(cap_hits) < pair_count, pair_idx, flat_n)
+    pair_valid = jnp.bool_(True)
+    safe_idx = jnp.minimum(pair_idx, flat_n - 1)
+    rows = safe_idx // slots_r
+    positions = jnp.where(pair_idx < flat_n, pos_idx[rows], chunk_len)
+    motif_ids = jnp.minimum(
+        jnp.take(lanes_out.reshape(-1), safe_idx), mcount - 1)
 
     fscores = rescore_multi(chunk, pssms, positions, motif_ids,
                             n_live=pair_count)
     keep = (
-        (pair_idx < flat.shape[0])
+        (pair_idx < flat_n)
         & (positions < n_valid_here[0, motif_ids])
         & (fscores >= thresholds[motif_ids])
     )
     n_kept = jnp.sum(keep.astype(jnp.int32))
-    # sort kept hits by (position, motif): every compaction emits
-    # ascending indices, so pair_idx already orders (position, word,
-    # bit) == (position, motif), and stays well inside int32
+    # sort kept hits by (position, motif): the compaction emits
+    # ascending slot indices, so pair_idx already orders
+    # (position, extraction slot) == (position, motif lane)
     key = jnp.where(keep, pair_idx, jnp.int32(2**31 - 1))
     order = jnp.argsort(key)
     packed = jnp.stack([
@@ -822,10 +858,10 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         jax.lax.bitcast_convert_type(jnp.take(fscores, order), jnp.int32),
     ])
     hit_need = jnp.maximum(
-        jnp.maximum(hit_count, wcount),
         jnp.maximum(pairs_total, pair_count),
+        jnp.where(rmax > slots_r, rmax * 4096, 0),
     )
-    valid = (pos_valid & hvalid & wvalid & pair_valid).astype(jnp.int32)
+    valid = (pos_valid & pair_valid).astype(jnp.int32)
     return jnp.stack([pos_count, hit_need, n_kept, valid]), packed
 
 

@@ -1089,3 +1089,19 @@ def test_int8_prefilter_parity():
     assert np.array_equal(r >= 0, o >= 0)
     assert (o >= 0).any()  # not vacuous
     assert np.array_equal(r[o >= 0], o[o >= 0])
+
+
+def test_pairs_per_position_ratchet(genome):
+    """A position hitting more motifs than the extraction's per-row
+    slot budget (R = cap_hits / 4096, floor 8) must grow cap_hits via
+    the normal retry and lose no hits."""
+    motifs = make_motifs()[:1] * 12  # 12 identical motifs
+    ms = MultiScanner(motifs, genome, -10.0, capacity=4096)
+    # capacity 4096 -> seed cap_hits 4096 -> R = 8 < 12 pairs per hit
+    # position: the first fetch must ratchet, the result stays exact
+    got = ms.collect()
+    want = MultiScanner(motifs[:1], genome, -10.0).collect()
+    assert len(got) == 12 * len(want) and len(want) > 0
+    for mid in range(12):
+        sub = [(h.position, h.score) for h in got if h.motif == mid]
+        assert sub == [(h.position, h.score) for h in want]
