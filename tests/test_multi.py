@@ -1105,3 +1105,31 @@ def test_pairs_per_position_ratchet(genome):
     for mid in range(12):
         sub = [(h.position, h.score) for h in got if h.motif == mid]
         assert sub == [(h.position, h.score) for h in want]
+
+
+def test_gather_windows_matches_direct():
+    """Packed-word window reads == direct byte gathers for every
+    alignment phase, odd lengths, protein ranks, and clamped tails."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import multi
+
+    rng = np.random.default_rng(74)
+    for lp, m, kmax in ((1001, 33, 5), (4096, 48, 21), (57, 7, 5)):
+        seq = jnp.asarray(rng.integers(0, kmax, size=lp).astype(np.int8))
+        words = multi.pack_words(seq)
+        pos = jnp.asarray(np.concatenate([
+            rng.integers(0, lp, size=500),
+            np.array([0, 1, 2, 3, lp - 1, lp - 2]),
+        ]).astype(np.int32))
+        got = np.asarray(multi.gather_windows(words, pos, m))
+        flat = np.asarray(seq)
+        for i, p in enumerate(np.asarray(pos)):
+            if p + m <= lp:
+                # fully in-range windows read exact symbols
+                assert np.array_equal(got[i], flat[p:p + m]), (lp, m, p)
+            else:
+                # the in-range prefix must still be exact (tails feed
+                # zero-padded PSSM rows downstream)
+                n = lp - p
+                assert np.array_equal(got[i, :n], flat[p:p + n]), (lp, m, p)
