@@ -424,10 +424,31 @@ def bench_multi(ctx):
         per16, _ = repeat_time(lambda: (fn16, (sdev, fh, fl), 100),
                                r_lo=4, r_hi=64, trials=3)
         record(f"multi{M}u16",
-               f"fused any-prefilter (u16, production), {M} motifs x genome",
+               f"fused any-prefilter (u16 bf16), {M} motifs x genome",
                round(L * M / per16 / 1e9, 1), "Gpos*motif/s",
                f"{per16 * 1e3:.1f} ms/genome",
                vs_baseline=round(L * M / per16 / AVX2_BASELINE, 1))
+        # round 4: the production prefilter runs the same u16 test on
+        # the int8 MXU path (planes - 128, threshold in an int32 adj)
+        widths = multi.ragged_widths(f_hi, f_lo, k)
+        hi8, lo8, adj = multi.pack_filters_fine_i8(d16, t16, k, widths)
+        h8, l8, a8 = (jax.device_put(x) for x in (hi8, lo8, adj))
+        fn8 = lambda s, hi, lo, a, carry: multi_kernel.prefilter_any8(
+            s, hi, lo, a + carry.astype(jnp.int32), m, k, widths=widths)
+        ref8 = np.asarray(jax.device_get(
+            fn8(sdev, h8, l8, a8, jnp.float32(0.0)))).reshape(-1)
+        ref16 = np.asarray(jax.device_get(
+            fn16(sdev, fh, fl, jnp.float32(0.0)))).reshape(-1)
+        n_ok = L - m + 1
+        assert np.array_equal(ref8[:n_ok] >= 0, ref16[:n_ok] >= 0)
+        per8, _ = repeat_time(lambda: (fn8, (sdev, h8, l8, a8), 100),
+                              r_lo=4, r_hi=64, trials=3)
+        record(f"multi{M}i8",
+               f"fused any-prefilter (u16 on int8 MXU, production), "
+               f"{M} motifs x genome",
+               round(L * M / per8 / 1e9, 1), "Gpos*motif/s",
+               f"{per8 * 1e3:.1f} ms/genome; candidate-identical to u16",
+               vs_baseline=round(L * M / per8 / AVX2_BASELINE, 1))
 
 
 def _multiscan_wall(pssms, seq, thresholds, reps=3):
