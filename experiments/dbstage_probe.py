@@ -48,10 +48,12 @@ def build():
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "stage", "cap", "cap_hits", "m_max", "k", "dense", "widths"))
+    "stage", "cap", "cap_hits", "m_max", "k", "dense", "widths",
+    "g_rsplits"))
 def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
               stage: int, cap: int, cap_hits: int, m_max: int, k: int,
-              dense: bool, carry, widths=None, filt8=None):
+              dense: bool, carry, widths=None, filt8=None,
+              g_rsplits=None):
     f_hi = f_hi + carry * jnp.float32(1e-45)
     thresholds = thresholds + carry * jnp.float32(1e-45)
     chunk_len = chunk.shape[0]
@@ -151,7 +153,7 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
         return words
 
     mcount_pad = f_hi.shape[1]
-    slots_r = max(8, min(256, cap_hits // 4096))
+    slots_r = max(64, min(256, cap_hits // 4096))
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (cap, n_words), 1)
     pcnt = jnp.sum(jax.lax.population_count(words), axis=1)
     rmax = jnp.max(pcnt)
@@ -211,8 +213,14 @@ def core_upto(chunk, f_hi, f_lo, pssms, thresholds, n_valid_here,
     if stage == 6:
         return positions
 
-    fscores = multi.rescore_multi(chunk, pssms, positions, motif_ids,
-                                  n_live=pair_count)
+    rsplits = g_rsplits
+    if rsplits is not None and m_max > rpb:
+        fscores = multi.rescore_multi_staged(
+            chunk, pssms, positions, motif_ids, pair_count,
+            rsplits, rpb)
+    else:
+        fscores = multi.rescore_multi(chunk, pssms, positions,
+                                      motif_ids, n_live=pair_count)
     if stage == 7:
         return fscores
     keep = (
@@ -248,7 +256,8 @@ def main():
                 a[0], a[1], a[2], a[3], a[4], a[5],
                 stage=stage, cap=cap, cap_hits=cap_hits,
                 m_max=g["m_max"], k=k, dense=dense, carry=a[6],
-                widths=g.get("widths"), filt8=g.get("filt8"))
+                widths=g.get("widths"), filt8=g.get("filt8"),
+                g_rsplits=g.get("rsplits"))
             return fn, args, 0
         per, spans = repeat_time(make, r_lo=1, r_hi=3, trials=3)
         print(f"stage {stage} {names[stage]:18s}: {per*1e3:8.2f} ms "

@@ -333,6 +333,25 @@ def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
     f_hi, f_lo = pack_filters_fine(d16, t16, k)
     widths = ragged_widths(f_hi, f_lo, k)
     hi8, lo8, adj = pack_filters_fine_i8(d16, t16, k, widths)
+    # length-class lane starts for the staged exact rescore: pairs
+    # whose motif lane sits before rsplits[b-1] have all-zero f32 rows
+    # in contraction block b (trailing zero rows add +0.0 exactly --
+    # the unstaged rescore adds them too), so the per-pair gather loop
+    # can stop at its class boundary.  Derived from effective lengths
+    # (last nonzero f32 row), monotone-safe for any motif order.
+    from . import multi_kernel
+
+    rpb = multi_kernel.MAX_MK // multi_kernel._lanes_for(k)
+    nz_rows = np.abs(pssm_g).sum(axis=2) > 0          # [gm, m_bucket]
+    m_eff = np.where(nz_rows.any(axis=1),
+                     m_bucket - np.argmax(nz_rows[:, ::-1], axis=1), 0)
+    n_blocks = -(-m_bucket // rpb)
+    rsplits = []
+    for b in range(1, n_blocks):
+        sel = np.nonzero(m_eff > b * rpb)[0]
+        rsplits.append(int(sel.min()) if sel.size else gm)
+    for b in range(len(rsplits) - 2, -1, -1):
+        rsplits[b] = min(rsplits[b], rsplits[b + 1])
     return {
         "f_hi": f_hi,
         "f_lo": f_lo,
@@ -344,6 +363,7 @@ def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
         "m_max": m_bucket,
         "count": len(ids),
         "widths": widths,
+        "rsplits": tuple(rsplits),
     }
 
 
@@ -540,14 +560,128 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     return out[:cap]
 
 
+def rescore_multi_staged(seq, pssms, positions, motif_ids, n_live,
+                         rsplits, rpb: int):
+    """Exact f32 rescore with length-class gather depth.
+
+    Same contract as :func:`rescore_multi`, but the per-pair PSSM/
+    window gathers (the stage's dominant cost, ~8 ns each) stop at the
+    pair's motif-length class instead of the group bucket: stage 0
+    sums rows ``j < rpb`` for every pair; stage ``b >= 1`` compacts
+    the pairs whose motif lane is past ``rsplits[b-1]`` (their f32
+    rows in contraction block ``b`` can be nonzero) and CONTINUES
+    their accumulation with rows ``[b*rpb, (b+1)*rpb)``, so the
+    ascending-j sequential order -- and hence f32 bit parity -- is
+    preserved per pair.  On JASPAR2024 only ~8% of live motifs exceed
+    16 rows, so ~half the gather volume disappears.  Short pairs skip
+    their trailing all-zero rows entirely; the unstaged path adds
+    those +0.0 terms, which cannot change any f32 sum.
+
+    Every per-pair gather runs inside a live-count-bounded 4096-block
+    ``fori_loop`` (stage populations are tiny; capacity-scale gathers
+    would eat the win).
+
+    **Status: measured a NET LOSS on the flagship workload and NOT
+    used by the production scanners** (jasparfull 0.180 vs 0.171 s
+    wall; rescore stage 44 vs 30 ms).  JASPAR hits concentrate in the
+    long, information-rich motifs, so the long-pair population is far
+    above the 8%-of-motifs prior, and the class compaction + rank
+    merge overhead exceeds the gather savings.  Kept (with bit-parity
+    tests) as the documented negative result; a database whose hits
+    sit mostly in short motifs could re-enable it via the ``rsplits``
+    argument of :func:`scan_multi_segment_fused`.
+    """
+    m_max = pssms.shape[1]
+    k = pssms.shape[2]
+    lp = seq.shape[0]
+    flat = pssms.reshape(-1)
+    words = pack_words(seq)
+    cap = positions.shape[0]
+    blk = RESCORE_BLOCK
+    cap_pad = -(-cap // blk) * blk
+    pad = cap_pad - cap
+
+    def padded(x, fill):
+        return x if not pad else jnp.concatenate(
+            [x, jnp.full((pad,), fill, x.dtype)])
+
+    pos_p = padded(positions, jnp.int32(0))
+    mo_p = padded(motif_ids, jnp.int32(0))
+    n_live = n_live.astype(jnp.int32)
+
+    def span_block(pos_b, mo_b, acc_b, j0, j1):
+        """acc += sum of rows [j0, j1) in ascending order (one 4096
+        block of pairs)."""
+        safe = jnp.clip(pos_b + j0, 0, lp - 1)
+        sym = gather_windows(words, safe, j1 - j0)
+        base = mo_b.astype(jnp.int32) * (m_max * k)
+        jj = jnp.arange(j0, j1, dtype=jnp.int32)
+        val = flat[base[:, None] + jj[None, :] * k + sym]
+        for j in range(j1 - j0):
+            acc_b = acc_b + val[:, j]
+        return acc_b
+
+    # stage 0: rows [0, min(rpb, m_max)) for every pair
+    j1_0 = min(rpb, m_max)
+    live0 = jnp.minimum((n_live + blk - 1) // blk, cap_pad // blk)
+
+    def body0(i, out):
+        pos_b = jax.lax.dynamic_slice(pos_p, (i * blk,), (blk,))
+        mo_b = jax.lax.dynamic_slice(mo_p, (i * blk,), (blk,))
+        acc_b = span_block(jnp.clip(pos_b, 0, lp - 1), mo_b,
+                           jnp.zeros((blk,), jnp.float32), 0, j1_0)
+        return jax.lax.dynamic_update_slice(out, acc_b, (i * blk,))
+
+    acc = jax.lax.fori_loop(
+        0, live0, body0, jnp.zeros((cap_pad,), jnp.float32))
+
+    n_blocks = -(-m_max // rpb)
+    pair_live = jnp.arange(cap_pad) < n_live
+    for b in range(1, n_blocks):
+        s_b = rsplits[b - 1]
+        j0, j1 = b * rpb, min((b + 1) * rpb, m_max)
+        sel = pair_live & (mo_p >= s_b)
+        csum = jnp.cumsum(sel.astype(jnp.int32))
+        cnt_b = csum[-1]
+        liveb = jnp.minimum((cnt_b + blk - 1) // blk, cap_pad // blk)
+
+        # compact the class-b pair indices (blocked queries), then
+        # continue their accumulation and write into a side buffer
+        def bodyb(i, accb):
+            q = i * blk + jnp.arange(1, blk + 1, dtype=jnp.int32)
+            idx = jnp.searchsorted(csum, q, side="left").astype(jnp.int32)
+            idx = jnp.minimum(idx, cap_pad - 1)
+            ok = q <= cnt_b
+            pos_b = jnp.where(ok, pos_p[idx], 0)
+            mo_b = mo_p[idx]
+            a0 = jnp.where(ok, acc[idx], 0.0)
+            a1 = span_block(jnp.clip(pos_b, 0, lp - 1), mo_b, a0, j0, j1)
+            return jax.lax.dynamic_update_slice(accb, a1, (i * blk,))
+
+        acc_cls = jax.lax.fori_loop(
+            0, liveb, bodyb, jnp.zeros((cap_pad,), jnp.float32))
+
+        # merge back by rank (no scatter): pair i's continued sum sits
+        # at acc_cls[csum[i] - 1]
+        def bodym(i, out):
+            sl = lambda x: jax.lax.dynamic_slice(x, (i * blk,), (blk,))
+            r = jnp.maximum(sl(csum) - 1, 0)
+            upd = jnp.where(sl(sel), acc_cls[r], sl(out))
+            return jax.lax.dynamic_update_slice(out, upd, (i * blk,))
+
+        acc = jax.lax.fori_loop(0, live0, bodym, acc)
+    return acc[:cap]
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "chunk_len", "cap", "dense", "m_max", "k", "cap_hits", "widths"))
+    "chunk_len", "cap", "dense", "m_max", "k", "cap_hits", "widths",
+    "rsplits"))
 def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
                              thresholds, chunk_len: int, cap: int,
                              m_max: int, k: int, dense: bool = False,
                              cap_hits: int | None = None,
                              filters_fine=None, widths=None,
-                             filters_i8=None):
+                             filters_i8=None, rsplits=None):
     """Fused-prefilter variant of :func:`scan_multi_segment`.
 
     Uses the Pallas MXU any-candidate prefilter (:mod:`.multi_kernel`):
@@ -559,14 +693,15 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     return scan_multi_core(chunk, n_valid_here, filters_t, pssms,
                            thresholds, cap, m_max, k, dense, cap_hits,
-                           filters_fine, widths, filters_i8)
+                           filters_fine, widths, filters_i8, rsplits)
 
 
 def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
                     cap: int, m_max: int, k: int, dense: bool,
                     cap_hits: int | None = None, filters_fine=None,
                     widths: tuple[int, ...] | None = None,
-                    filters_i8=None):
+                    filters_i8=None,
+                    rsplits: tuple[int, ...] | None = None):
     """Fused multi-motif scan body on an in-register chunk (shared by
     the single-chip segment loop and the mesh shard path).
 
@@ -839,8 +974,15 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     motif_ids = jnp.minimum(
         jnp.take(lanes_out.reshape(-1), safe_idx), mcount - 1)
 
-    fscores = rescore_multi(chunk, pssms, positions, motif_ids,
-                            n_live=pair_count)
+    lanes = multi_kernel._lanes_for(k)
+    rpb_r = multi_kernel.MAX_MK // lanes
+    if rsplits is not None and m_max > rpb_r:
+        fscores = rescore_multi_staged(
+            chunk, pssms, positions, motif_ids, pair_count,
+            rsplits, rpb_r)
+    else:
+        fscores = rescore_multi(chunk, pssms, positions, motif_ids,
+                                n_live=pair_count)
     keep = (
         (pair_idx < flat_n)
         & (positions < n_valid_here[0, motif_ids])

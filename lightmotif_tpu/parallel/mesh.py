@@ -375,12 +375,12 @@ def sharded_argmax(
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "cap", "cap_hits", "m_max", "k",
-                     "mesh_holder", "dense", "widths"),
+                     "mesh_holder", "dense", "widths", "rsplits"),
 )
 def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
                         filters_fine, chunk, cap, cap_hits, m_max, k,
                         mesh_holder, dense=False, widths=None,
-                        filters_i8=None):
+                        filters_i8=None, rsplits=None):
     from ..ops import multi
 
     mesh = mesh_holder.mesh
@@ -392,7 +392,7 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
         nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
         counts, packed = multi.scan_multi_core(
             seq, nv, filters_t, pssms, thresholds, cap, m_max, k,
-            dense, cap_hits, filters_fine, widths, filters_i8)
+            dense, cap_hits, filters_fine, widths, filters_i8, rsplits)
         packed = packed.at[0].add(d * chunk)
         # replicate counters so every host process of a multi-host mesh
         # takes identical retry decisions
@@ -561,6 +561,7 @@ class ShardedMultiScanner:
                     "m_bucket": g["m_max"],
                     "m_pad": g["f_hi"].shape[1],
                     "widths": g["widths"],
+                    "rsplits": g["rsplits"],
                     "pssm": jnp.asarray(g["pssm"]),
                     "th": jnp.asarray(g["th"]),
                     "filters": (jnp.asarray(g["f_hi"]),
@@ -658,11 +659,13 @@ class ShardedMultiScanner:
         holder, k = self._holder, self.k
 
         def launch_group(gi, grp, nv, g_cap, g_cap_hits, dense):
+            # rsplits=None: staged rescore measured a net loss at
+            # database scale (see scanner.py / DESIGN.md)
             counts, packed = _sharded_multi_impl(
                 st["shards"], None, grp["pssm"], grp["th"], nv,
                 grp["filters"], st["chunk"], g_cap, g_cap_hits,
                 grp["m_bucket"], k, holder, dense, grp["widths"],
-                grp["filters8"])
+                grp["filters8"], None)
             width = head_width(self._head_hint.get(gi, 0),
                                g_cap_hits)
             head = (packed[:, :, :width]

@@ -737,6 +737,7 @@ class MultiScanner:
                         "count": g["count"],
                         "m_max": g["m_max"],
                         "widths": g["widths"],
+                        "rsplits": g["rsplits"],
                         "filt16": (jnp.asarray(g["f_hi"]),
                                    jnp.asarray(g["f_lo"])),
                         "filt8": (jnp.asarray(g["f_hi8"]),
@@ -762,12 +763,17 @@ class MultiScanner:
                 n_here2d = np.zeros(
                     (1, group["filt16"][0].shape[1]), np.int32)
                 n_here2d[0, : group["count"]] = n_here[group["ids"]]
+                # rsplits=None: the staged length-class rescore
+                # measured a NET LOSS on jasparfull (0.180 vs 0.171 s;
+                # hits concentrate in long, information-rich motifs
+                # and the class compact/merge overhead eats the gather
+                # savings) -- see rescore_multi_staged's docstring
                 return multi.scan_multi_segment_fused(
                     data, np.int32(off), jnp.asarray(n_here2d),
                     None, group["pssm"], group["th"],
                     chunk_len, cap, group["m_max"], k, dense,
                     cap_hits, group["filt16"], group["widths"],
-                    group["filt8"])
+                    group["filt8"], None)
             return multi.scan_multi_segment(
                 data, np.int32(off), jnp.asarray(n_here), dm_dev,
                 pssm_dev, len_dev, ts_dev, th_dev, chunk_len,

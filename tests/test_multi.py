@@ -1133,3 +1133,95 @@ def test_gather_windows_matches_direct():
                 # zero-padded PSSM rows downstream)
                 n = lp - p
                 assert np.array_equal(got[i, :n], flat[p:p + n]), (lp, m, p)
+
+
+def test_staged_rescore_matches_flat():
+    """rescore_multi_staged == rescore_multi bit-for-bit on a ragged
+    motif set (mixed lengths across 3 contraction blocks, live-count
+    boundary, dead-pair padding)."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import multi
+
+    rng = np.random.default_rng(75)
+    motifs = _ragged_motif_set(rng)
+    k = 5
+    stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    m_max = int(lengths.max())
+    g = multi.pack_motif_group(
+        np.arange(len(motifs)), len(motifs), m_max, stack,
+        np.full(len(motifs), -8.0, np.float32), k)
+    assert g["rsplits"] and g["rsplits"][0] < len(motifs)
+
+    lp = 6000
+    chunk = jnp.asarray(rng.integers(0, 5, size=lp).astype(np.int8))
+    n_pairs = 1500
+    cap = 4096
+    pos = np.zeros(cap, np.int32)
+    mo = np.zeros(cap, np.int32)
+    pos[:n_pairs] = np.sort(rng.integers(0, lp - m_max, n_pairs))
+    mo[:n_pairs] = rng.integers(0, len(motifs), n_pairs)
+    # dead slots hold clamped sentinels like the extraction emits
+    pos[n_pairs:] = lp
+    mo[n_pairs:] = len(motifs) - 1
+    pssms = jnp.asarray(g["pssm"])
+    flat = np.asarray(multi.rescore_multi(
+        chunk, pssms, jnp.asarray(pos), jnp.asarray(mo),
+        n_live=jnp.int32(n_pairs)))
+    staged = np.asarray(multi.rescore_multi_staged(
+        chunk, pssms, jnp.asarray(pos), jnp.asarray(mo),
+        jnp.int32(n_pairs), g["rsplits"], 16))
+    assert np.array_equal(flat[:n_pairs], staged[:n_pairs])
+    # and both equal the public scalar oracle on a sample
+    for i in rng.integers(0, n_pairs, 25):
+        mid = int(mo[i])
+        m_i = int(lengths[mid])
+        if pos[i] + m_i <= lp:
+            want = motifs[mid].score_position(
+                EncodedSequence(np.asarray(chunk).astype(np.uint8)),
+                int(pos[i]))
+            assert np.float32(staged[i]) == np.float32(want), i
+
+
+def test_ragged_core_with_rsplits_parity():
+    """scan_multi_segment_fused with rsplits (staged rescore) ==
+    without (flat rescore)."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import kernels, multi
+
+    rng = np.random.default_rng(76)
+    motifs = _ragged_motif_set(rng)
+    k = 5
+    stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    m_max = int(lengths.max())
+    ths = np.full(len(motifs), -8.0, np.float32)
+    g = multi.pack_motif_group(
+        np.arange(len(motifs)), len(motifs), m_max, stack, ths, k)
+    tile = 8192
+    data = rng.integers(0, 4, size=tile, dtype=np.int8)
+    seq = jnp.asarray(data)
+    n_here = np.zeros((1, g["f_hi"].shape[1]), np.int32)
+    n_here[0, : len(motifs)] = np.maximum(data.size - lengths + 1, 0)
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        f_hi = jnp.asarray(g["f_hi"])
+        f_lo = jnp.asarray(g["f_lo"])
+        args = (seq, np.int32(0), jnp.asarray(n_here), None,
+                jnp.asarray(g["pssm"]), jnp.asarray(g["th"]))
+        kw = dict(chunk_len=tile, cap=4096, m_max=m_max, k=k,
+                  dense=False, cap_hits=4096,
+                  filters_fine=(f_hi, f_lo), widths=g["widths"])
+        c0, p0 = multi.scan_multi_segment_fused(*args, **kw)
+        c1, p1 = multi.scan_multi_segment_fused(
+            *args, **kw, rsplits=g["rsplits"])
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
+        assert np.array_equal(np.asarray(p0), np.asarray(p1))
+        assert int(np.asarray(c1)[2]) > 0
+    finally:
+        kernels.INTERPRET = False
+        jax.clear_caches()
