@@ -164,13 +164,25 @@ def secondary_metrics(pssm, seq, genome_len):
             pssms = fwd + [p.reverse_complement() for p in fwd]
             ms = MultiScanner(pssms, thresholds=ths + ths)
             mo_ids, _, _ = ms.scan_arrays(seq)  # warm: pack+upload+compile
-            best = np.inf
-            for _ in range(3):
+            ms.scan_arrays(seq)  # settle sticky head widths / ratchets
+            # The axon service load swings single readings by tens of
+            # ms (CLAUDE.md: interleave A/B before trusting deltas), so
+            # the recorded wall is the best of 7 trials spread over a
+            # few seconds -- the same discipline RESULTS.md uses, so
+            # the driver artifact records the steady-state wall rather
+            # than one load-exposed reading (round-4 verdict item 1).
+            walls = []
+            for i in range(7):
+                if i:
+                    time.sleep(0.3)
                 t0 = time.perf_counter()
                 ms.scan_arrays(seq)
-                best = min(best, time.perf_counter() - t0)
+                walls.append(time.perf_counter() - t0)
+            best = min(walls)
             gpm = genome_len * len(pssms) / best
             out["database_scan_wall_s"] = round(best, 3)
+            out["database_scan_wall_median_s"] = round(
+                sorted(walls)[len(walls) // 2], 3)
             out["database_scan_hits"] = int(len(mo_ids))
             out["database_scan_motifs_x_strands"] = len(pssms)
             out["database_scan_gpos_motif_per_s"] = round(gpm / 1e9, 1)

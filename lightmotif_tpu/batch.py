@@ -116,38 +116,72 @@ class BatchReducer:
     shorter than the motif yield ``(-inf, -1)``.
     """
 
-    def __init__(self, pssm, seqs):
+    def __init__(self, pssm, seqs=None, slot: int | None = None,
+                 n_slots: int | None = None):
+        import jax
+
+        self.pssm = pssm
+        self._m = len(pssm)
+        # pinned slot geometry (pad-to-slot): a streaming consumer
+        # fixes (slot, n_slots) once and every rebind() reuses the one
+        # compiled program -- the same persistent-rebind pattern as
+        # MultiBatchScanner.  Unpinned geometry ratchets instead of
+        # tracking each batch exactly, so shapes only ever grow.
+        self.slot = int(slot) if slot else 0
+        self.n = int(n_slots) if n_slots else 0
+        self._pinned = bool(slot or n_slots)
+        self._pssm_dev = jax.device_put(
+            np.asarray(pssm.data, np.float32))
+        self._flat = self._n_valid = None
+        self._n_records = 0
+        self._out = None
+        if seqs is not None:
+            self.rebind(seqs)
+
+    def rebind(self, seqs) -> "BatchReducer":
+        """Bind a new batch of records, reusing the compiled program
+        whenever the slot geometry still fits (always, once ``slot`` /
+        ``n_slots`` are pinned or after the ratchet settles)."""
         import jax
 
         from .ops import kernels, xla_ops
 
-        self.pssm = pssm
-        m = len(pssm)
-        alphabet = pssm.alphabet
+        alphabet = self.pssm.alphabet
+        m = self._m
         seqs = [s if isinstance(s, EncodedSequence)
                 else EncodedSequence(s, alphabet) for s in seqs]
         if not seqs:
             raise ValueError("no sequences given")
         self._lengths = np.asarray([len(s) for s in seqs], np.int64)
-        self.n = len(seqs)
+        self._n_records = len(seqs)
+        need_slot = int(self._lengths.max()) + max(m - 1, 0)
+        if self._pinned and (need_slot > self.slot
+                             or self._n_records > self.n):
+            raise ValueError(
+                f"batch needs slot={need_slot} x n={self._n_records}, "
+                f"pinned geometry is slot={self.slot} x n={self.n}")
         # uniform slots: every record starts at i * slot, so the score
         # array reshapes to [n, slot] for the row reductions.  The
         # m - 1 tail keeps windows from reading the next record.
-        self.slot = int(self._lengths.max()) + max(m - 1, 0)
+        self.slot = max(self.slot, need_slot)
+        self.n = max(self.n, self._n_records)
         flat_len = xla_ops.pad_length(
             self.n * self.slot, kernels.preferred_pad())
         flat = np.full(flat_len, alphabet.default_index, np.int8)
         for i, s in enumerate(seqs):
             start = i * self.slot
             flat[start:start + len(s)] = np.asarray(s.data, np.int8)
+        n_valid = np.zeros(self.n, np.int32)
+        n_valid[:self._n_records] = np.maximum(
+            self._lengths - m + 1, 0)
         self._flat = jax.device_put(flat)
-        self._pssm_dev = jax.device_put(
-            np.asarray(pssm.data, np.float32))
-        self._n_valid = jax.device_put(
-            np.maximum(self._lengths - m + 1, 0).astype(np.int32))
+        self._n_valid = jax.device_put(n_valid)
         self._out = None
+        return self
 
     def _reduce(self):
+        if self._flat is None:
+            raise ValueError("no records bound; use rebind(seqs)")
         if self._out is None:
             import jax
 
@@ -155,7 +189,9 @@ class BatchReducer:
                 self._flat, self._pssm_dev, self._n_valid,
                 self.n, self.slot)
             mx, am = jax.device_get((mx, am))
-            self._out = (np.asarray(mx), np.asarray(am))
+            # empty ratchet slots beyond the bound batch slice off
+            self._out = (np.asarray(mx)[:self._n_records],
+                         np.asarray(am)[:self._n_records])
         return self._out
 
     def max(self) -> np.ndarray:
@@ -169,31 +205,44 @@ class BatchReducer:
         return am.astype(np.int64), mx
 
 
+_BATCH_REDUCE_RUN = None
+_BATCH_REDUCE_TRACES = 0  # trace-time counter (tests assert reuse)
+
+
 def _batch_reduce(flat, pssm, n_valid, n: int, slot: int):
-    import functools
+    # one module-level jitted callable: rebinding a BatchReducer (or
+    # building a new one) with the same (n, slot, pssm-shape) reuses
+    # the compiled executable instead of retracing a fresh closure
+    global _BATCH_REDUCE_RUN
+    if _BATCH_REDUCE_RUN is None:
+        import functools
 
-    import jax
+        import jax
 
-    @functools.partial(jax.jit, static_argnames=("n", "slot"))
-    def run(flat, pssm, n_valid, n, slot):
-        import jax.numpy as jnp
+        @functools.partial(jax.jit, static_argnames=("n", "slot"))
+        def run(flat, pssm, n_valid, n, slot):
+            import jax.numpy as jnp
 
-        from .ops import kernels
+            from .ops import kernels
 
-        scores = kernels.score_f32(flat, pssm, n * slot)
-        s = scores[: n * slot].reshape(n, slot)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (n, slot), 1)
-        s = jnp.where(pos < n_valid[:, None], s, -jnp.inf)
-        mx = jnp.max(s, axis=1)
-        # ties restricted to VALID positions: when mx is -inf the
-        # masked tail compares equal too, and the reference's last-max
-        # rule must land on the last valid start, not the slot edge
-        am = jnp.max(jnp.where((s == mx[:, None])
-                               & (pos < n_valid[:, None]), pos, -1),
-                     axis=1)
-        return mx, am
+            global _BATCH_REDUCE_TRACES
+            _BATCH_REDUCE_TRACES += 1
+            scores = kernels.score_f32(flat, pssm, n * slot)
+            s = scores[: n * slot].reshape(n, slot)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (n, slot), 1)
+            s = jnp.where(pos < n_valid[:, None], s, -jnp.inf)
+            mx = jnp.max(s, axis=1)
+            # ties restricted to VALID positions: when mx is -inf the
+            # masked tail compares equal too, and the reference's
+            # last-max rule must land on the last valid start, not the
+            # slot edge
+            am = jnp.max(jnp.where((s == mx[:, None])
+                                   & (pos < n_valid[:, None]), pos, -1),
+                         axis=1)
+            return mx, am
 
-    return run(flat, pssm, n_valid, n, slot)
+        _BATCH_REDUCE_RUN = run
+    return _BATCH_REDUCE_RUN(flat, pssm, n_valid, n, slot)
 
 
 class MultiBatchScanner:

@@ -72,6 +72,21 @@ class _MatrixBase:
             return self.data
         return self.data.astype(dtype)
 
+    def __buffer__(self, flags):
+        """Buffer protocol: the 2-D ``[rows, K]`` read-only view.
+
+        The reference exposes matrix buffers too
+        (``lightmotif-py/lightmotif/lib.rs:668-1020``); note its
+        ``ScoringMatrix`` buffer declares the transposed shape
+        ``[K, rows]`` while keeping row-major strides (``lib.rs:686``),
+        which mismatches its own storage for ``rows != K`` — this
+        implementation keeps the natural row-major ``[rows, K]`` shape
+        instead.
+        """
+        view = self.data.view()
+        view.setflags(write=False)
+        return memoryview(view)
+
     def __eq__(self, other) -> bool:
         return (
             type(other) is type(self)

@@ -52,6 +52,29 @@ __all__ = [
 _HEAD_SLOTS = 8192
 
 
+#: Diagnostic: undersized-head fallbacks (full per-shard ``packed``
+#: transfers) taken by ``ShardedMultiScanner.fetch``; tests assert the
+#: steady state stays at zero on every process.
+_FULL_FETCHES = 0
+
+
+def _head_slices(packed, width: int):
+    """Hit-array head views fetchable from THIS process.
+
+    Single-process: one lazy global slice ``packed[:, :, :width]``
+    (every shard addressable).  Multi-process: a global slice is not
+    fully addressable, so build one lazy per-addressable-shard slice
+    keyed by shard row instead -- each process then fetches only its
+    own devices' heads inside the same batched ``device_get`` as the
+    counters, instead of falling back to full per-shard ``packed``
+    transfers (round-4 verdict item 5).
+    """
+    if jax.process_count() == 1:
+        return packed[:, :, :width]
+    return {(s.index[0].start or 0): s.data[0, :, :width]
+            for s in packed.addressable_shards}
+
+
 def make_genome_mesh(devices=None) -> Mesh:
     """A 1-D mesh with a single ``genome`` axis over all devices."""
     if devices is None:
@@ -668,8 +691,7 @@ class ShardedMultiScanner:
                 grp["filters8"], None)
             width = head_width(self._head_hint.get(gi, 0),
                                g_cap_hits)
-            head = (packed[:, :, :width]
-                    if jax.process_count() == 1 else None)
+            head = _head_slices(packed, width)
             return {"kind": "fused", "grp": grp, "nv": nv, "gi": gi,
                     "cap": g_cap, "cap_hits": g_cap_hits,
                     "dense": dense, "counts": counts, "packed": packed,
@@ -683,8 +705,7 @@ class ShardedMultiScanner:
                 dn["block_lanes"])
             width = head_width(
                 self._head_hint.get(("dense", dn["i"]), 0), g_cap)
-            head = (packed[:, :, :width]
-                    if jax.process_count() == 1 else None)
+            head = _head_slices(packed, width)
             return {"kind": "dense", "dn": dn, "dshards": dshards,
                     "chunk": chunk_i, "n_i": n_i, "cap": g_cap,
                     "dense": dense, "counts": counts, "packed": packed,
@@ -770,9 +791,13 @@ class ShardedMultiScanner:
                 n_kept = int(counts_h[d, kept_col])
                 if not n_kept:
                     continue
-                if head_h is not None and n_kept <= head_h.shape[2]:
-                    arr = np.asarray(head_h[d, :, :n_kept])
+                hv = (head_h.get(d) if isinstance(head_h, dict)
+                      else None if head_h is None else head_h[d])
+                if hv is not None and n_kept <= hv.shape[1]:
+                    arr = np.asarray(hv[:, :n_kept])
                 else:
+                    global _FULL_FETCHES
+                    _FULL_FETCHES += 1
                     arr = np.asarray(shard.data)[0, :, :n_kept]
                 if fused:
                     gids = ids_arr[np.minimum(arr[1], len(ids_arr) - 1)]

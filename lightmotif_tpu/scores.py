@@ -68,6 +68,12 @@ class Scores:
             return self.data
         return self.data.astype(dtype)
 
+    def __buffer__(self, flags):
+        """Buffer protocol: 1-D read-only score vector."""
+        view = self.data.view()
+        view.setflags(write=False)
+        return memoryview(view)
+
     def max(self):
         return float(self.data.max()) if self.data.size else None
 
@@ -104,6 +110,20 @@ class StripedScores:
 
     def __array__(self, dtype=None, copy=None):
         return np.asarray(self._flat[: self.length], dtype=dtype)
+
+    def __buffer__(self, flags):
+        """Buffer protocol: the reference's transposed striped view.
+
+        Shape ``[columns, rows]`` with Fortran-order strides
+        (``lightmotif-py/lightmotif/lib.rs:1128-1140``): buffer index
+        ``[c, r]`` is the score of linear position ``c * rows + r``, so
+        the row-major flattening of the buffer walks positions in
+        order.  Materialized from the flat device scores (the striped
+        layout is kernel-internal here); read-only.
+        """
+        view = self.matrix().T
+        view.setflags(write=False)
+        return memoryview(view)
 
     def is_empty(self) -> bool:
         return self.length == 0

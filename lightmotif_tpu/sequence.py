@@ -148,6 +148,13 @@ class EncodedSequence:
             return self.data
         return self.data.astype(dtype)
 
+    def __buffer__(self, flags):
+        """Buffer protocol: 1-D read-only ``u8`` ranks, matching the
+        reference binding (``lightmotif-py/lightmotif/lib.rs:218-245``)."""
+        view = self.data.view()
+        view.setflags(write=False)
+        return memoryview(view)
+
     # -- operations ---------------------------------------------------------
 
     def count_symbol(self, symbol) -> int:
@@ -243,6 +250,20 @@ class StripedSequence:
         if dtype is None:
             return self.data
         return self.data.astype(dtype)
+
+    def __buffer__(self, flags):
+        """Buffer protocol: the reference's transposed 2-D ``u8`` view.
+
+        Shape is ``[columns, rows]`` with strides ``[1, columns]``
+        (``lightmotif-py/lightmotif/lib.rs:303-318``), so buffer index
+        ``[c, r]`` addresses striped element ``data[r, c]`` — i.e. the
+        row-major flattening of the buffer walks linear sequence
+        positions ``c * rows + r`` in order.  Read-only, as in the
+        reference.
+        """
+        view = self.data.T
+        view.setflags(write=False)
+        return memoryview(view)
 
     def __repr__(self) -> str:  # pragma: no cover
         return (

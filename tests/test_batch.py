@@ -1,6 +1,7 @@
 """Batched many-sequence scanning == per-record scanning."""
 
 import numpy as np
+import pytest
 
 from lightmotif_tpu import CountMatrix, EncodedSequence
 from lightmotif_tpu.batch import BatchScanner, MultiBatchScanner
@@ -151,3 +152,40 @@ def test_batch_reducer_all_neginf_record():
     host = np.asarray(pssm.score_host(EncodedSequence.encode("CCAAAACC")))
     assert np.float32(sc[1]) == host.max()
     assert int(am[1]) == int(np.nonzero(host == host.max())[0][-1])
+
+
+def test_batch_reducer_rebind_reuses_executable():
+    """Persistent rebind (round-4 verdict item 6): a second batch of
+    DIFFERENT records with pinned slot geometry must reuse the compiled
+    program (no new trace) and still match the host oracle."""
+    from lightmotif_tpu import batch as batch_mod
+    from lightmotif_tpu.batch import BatchReducer
+
+    rng = np.random.default_rng(33)
+    pssm = build_pssm()
+    m = len(pssm)
+    br = BatchReducer(pssm, slot=64 + m - 1, n_slots=8)
+
+    def oracle_check(records):
+        mx = br.max()
+        am, sc = br.argmax()
+        assert mx.shape == (len(records),)
+        for i, seq in enumerate(records):
+            host = np.asarray(pssm.score_host(seq))
+            assert np.float32(mx[i]) == host.max(), i
+            assert int(am[i]) == int(
+                np.nonzero(host == host.max())[0][-1]), i
+
+    first = _random_records(rng, 8, lo=m, hi=64)
+    br.rebind(first)
+    oracle_check(first)
+    traces = batch_mod._BATCH_REDUCE_TRACES
+    # different records, fewer of them: the pad-to-slot geometry keeps
+    # the shapes fixed, so no retrace and no recompile
+    second = _random_records(rng, 5, lo=m, hi=64)
+    br.rebind(second)
+    oracle_check(second)
+    assert batch_mod._BATCH_REDUCE_TRACES == traces
+    # oversized batches fail loudly instead of silently recompiling
+    with pytest.raises(ValueError):
+        br.rebind(_random_records(rng, 3, lo=200, hi=300))

@@ -187,3 +187,42 @@ def test_discrete_score_position_saturates():
     flat[: len(seq)] = np.asarray(seq.data, np.int8)
     dev = np.asarray(xla_ops.score_u8(flat, data, n))[:n]
     assert np.array_equal(dev, host)
+
+
+def test_buffer_protocol_matrices():
+    # reference matrix buffers (lib.rs:668-1020); this implementation
+    # keeps the natural [rows, K] row-major shape (the reference's
+    # ScoringMatrix buffer declares [K, rows] with row-major strides,
+    # lib.rs:686 -- a shape/stride mismatch we do not replicate)
+    pssm = build_pssm()
+    mem = memoryview(pssm)
+    assert mem.ndim == 2
+    assert mem.shape == (len(pssm), 5)
+    assert mem.format == "f"
+    arr = np.asarray(pssm)
+    for j in range(len(pssm)):
+        for s in range(5):
+            assert mem[j, s] == arr[j, s]
+    with pytest.raises(TypeError):
+        mem[0, 0] = 1.0  # read-only, as in the reference
+
+
+def test_buffer_protocol_striped_scores():
+    # StripedScores buffer: shape [columns, rows], Fortran strides
+    # (lib.rs:1128-1140): [c, r] is the score of position c*rows + r
+    from lightmotif_tpu import EncodedSequence
+
+    pssm = build_pssm()
+    seq = EncodedSequence.encode(SEQUENCE)
+    scores = pssm.score(seq)
+    mem = memoryview(scores)
+    assert mem.ndim == 2
+    assert mem.shape[0] == scores.columns
+    rows = mem.shape[1]
+    flat = np.asarray(scores.unstripe())
+    for i in range(len(scores)):
+        assert mem[i // rows, i % rows] == flat[i]
+    # np.asarray on the wrapper now follows the buffer (numpy 2 ranks
+    # the buffer protocol above __array__), exactly as it would on the
+    # reference bindings' buffer: the [columns, rows] striped matrix
+    assert np.asarray(scores).shape == (scores.columns, rows)

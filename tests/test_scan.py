@@ -250,3 +250,26 @@ def test_max_reference_mode_rising_cutoff_case():
     assert ref is not None and exact is not None
     assert ref.position != exact.position
     assert exact.score > ref.score
+
+
+def test_max_reference_mode_genome_scale_is_fast():
+    """Round-4 verdict item 7: the rising-cutoff host replay used to
+    rescore each candidate with an O(m) Python loop -- minutes at
+    genome scale under a permissive threshold.  The vectorized block
+    rescore keeps bit parity (covered by the tests above) and must
+    finish a Mbp-scale permissive scan in seconds."""
+    import time
+
+    rng = np.random.default_rng(77)
+    pssm = build_pssm()
+    seq = EncodedSequence(rng.integers(0, 4, size=1_000_000,
+                                       dtype=np.uint8))
+    t = 0.25 * float(pssm.max_score())  # admits a large candidate set
+    t0 = time.perf_counter()
+    hit = Scanner(pssm, seq, threshold=t).max(mode="reference")
+    wall = time.perf_counter() - t0
+    assert hit is not None
+    # exact-mode max is an upper bound on the replay's result
+    exact = Scanner(pssm, seq, threshold=t).max()
+    assert hit.score <= exact.score
+    assert wall < 20.0, f"reference-mode replay took {wall:.1f}s"

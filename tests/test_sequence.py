@@ -92,3 +92,42 @@ def test_constructor_accepts_text():
         _ = s1[10]
     mem = memoryview(np.asarray(s1))
     assert mem[0] == A
+
+
+def test_buffer_protocol_encoded():
+    # reference lightmotif-py test_sequence.py::test_memoryview
+    # (EncodedSequence exposes a 1-D read-only u8 buffer,
+    # lib.rs:218-245)
+    A, C, T, G, N = range(5)
+    s1 = EncodedSequence.encode("ATGC")
+    mem = memoryview(s1)
+    assert len(mem) == 4
+    assert mem.shape == (4,)
+    assert mem.format == "B"
+    assert [mem[i] for i in range(4)] == [A, T, G, C]
+    with pytest.raises(TypeError):
+        mem[0] = 2  # read-only, as in the reference
+
+
+def test_buffer_protocol_striped():
+    # reference StripedSequence buffer: shape [columns, rows], element
+    # [c, r] == striped data[r, c] (lib.rs:303-318,334-365); for a
+    # 4-symbol sequence rows == 1 so mem[i, 0] walks the sequence
+    A, C, T, G, N = range(5)
+    s1 = EncodedSequence.encode("ATGC").to_striped()
+    mem = memoryview(s1)
+    assert mem.ndim == 2
+    assert mem.shape[0] == s1.columns and mem.shape[1] == s1.rows
+    assert mem[0, 0] == A
+    assert mem[1, 0] == T
+    assert mem[2, 0] == G
+    assert mem[3, 0] == C
+    # a longer sequence: buffer[c, r] must equal element c*rows + r
+    s2 = EncodedSequence.encode(
+        "ATGTCCCAACAACGATACCCCGAGCCCATCGCCGTCATCGGCTCGGCATGCAGATTCCCAGGCG"
+    ).to_striped(columns=4)
+    mem2 = memoryview(s2)
+    rows = s2.rows
+    for c in range(4):
+        for r in range(rows):
+            assert mem2[c, r] == s2[c * rows + r]
