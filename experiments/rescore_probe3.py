@@ -199,7 +199,15 @@ def main():
     pre4 = jnp.asarray(pre.reshape(-1))
 
     pair32 = jnp.asarray(pair32)
-    from jax.experimental import enable_x64
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
     with enable_x64():
         pair64 = jax.device_put(p64)
 

@@ -352,6 +352,21 @@ def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
         rsplits.append(int(sel.min()) if sel.size else gm)
     for b in range(len(rsplits) - 2, -1, -1):
         rsplits[b] = min(rsplits[b], rsplits[b + 1])
+    # prefix-4 rescore table: entry (mo, code) = the EXACT f32
+    # sequential sum of rows 0..3 for the 4-symbol prefix decoded from
+    # ``code`` (base-K digits).  One rescore gather replaces the first
+    # four value gathers with the mandated add order preserved
+    # bit-for-bit (the entry IS the sequential prefix; zero-padded
+    # rows contribute +0.0 exactly).  DNA-sized alphabets only: K^4
+    # entries per motif (625 at K=5, ~5 MB per 2048-motif group).
+    pre4 = None
+    if k <= 8 and m_bucket >= 4:
+        codes = np.arange(k ** 4)
+        pre4 = pssm_g[:, 0, :][:, codes // k ** 3 % k].astype(np.float32)
+        for j, sj in ((1, codes // k ** 2 % k), (2, codes // k % k),
+                      (3, codes % k)):
+            pre4 = pre4 + pssm_g[:, j, :][:, sj]
+        pre4 = pre4.reshape(-1)
     return {
         "f_hi": f_hi,
         "f_lo": f_lo,
@@ -364,6 +379,7 @@ def pack_motif_group(ids, gm: int, m_bucket: int, pssm_stack,
         "count": len(ids),
         "widths": widths,
         "rsplits": tuple(rsplits),
+        "pre4": pre4,
     }
 
 
@@ -458,33 +474,61 @@ def pack_words(seq: jax.Array):
     return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
 
 
-def gather_windows(words: jax.Array, positions: jax.Array, m: int):
+def pack_nibbles(seq: jax.Array):
+    """Pack an int8 rank sequence into int32 words of EIGHT 4-bit
+    symbols -- the densest window-read packing for alphabets with
+    ranks < 16 (DNA; protein K=21 stays on :func:`pack_words`).
+
+    Halves the per-window word-gather count again vs byte packing
+    ((m + 14) // 8 instead of (m + 6) // 4: 5 vs 9 reads at the
+    jasparfull bucket m=33) -- measured -10%% on the whole rescore
+    stage (``experiments/rescore_probe3.out``, ``win_nib``).
+    """
+    lp = seq.shape[0]
+    pad = (-lp) % 8
+    s = seq if not pad else jnp.concatenate(
+        [seq, jnp.zeros((pad,), seq.dtype)])
+    b = s.astype(jnp.int32).reshape(-1, 8)
+    out = b[:, 0]
+    for i in range(1, 8):
+        out = out | (b[:, i] << (4 * i))
+    return out
+
+
+def gather_windows(words: jax.Array, positions: jax.Array, m: int,
+                   spw: int = 4):
     """``out[i, j] = seq[positions[i] + j]`` (j < m) from packed words.
 
+    ``spw``: symbols per int32 word -- 4 (byte packing,
+    :func:`pack_words`) or 8 (nibble packing, :func:`pack_nibbles`).
     ``positions`` must be pre-clipped to ``[0, len(seq) - 1]``; reads
-    past the end return padding bytes, exactly like the clipped direct
-    gather they replace (callers mask those windows downstream).
-    Returns int32 ``[n, m]`` symbol ranks.
+    past the end return padding symbols, exactly like the clipped
+    direct gather they replace (callers mask those windows
+    downstream).  Returns int32 ``[n, m]`` symbol ranks.
     """
-    n_words = (m + 6) // 4
-    w0 = positions.astype(jnp.int32) >> 2
+    n_words = (m + 2 * spw - 2) // spw
+    bits = 32 // spw
+    shift_w = spw.bit_length() - 1          # /spw as a shift
+    w0 = positions.astype(jnp.int32) >> shift_w
     w0 = jnp.minimum(w0, words.shape[0] - n_words)
     widx = w0[:, None] + jnp.arange(n_words, dtype=jnp.int32)[None, :]
     w = words[widx]                                   # [n, n_words]
-    r = positions.astype(jnp.int32) - w0 * 4          # byte offset
+    r = positions.astype(jnp.int32) - (w0 << shift_w)  # symbol offset
     cols = []
     for j in range(m):
-        off = r + j                     # [n] byte index into the words
-        wi = off >> 2
+        off = r + j                   # [n] symbol index into the words
+        wi = off >> shift_w
         sel = w[:, 0]
         for c in range(1, n_words):
             sel = jnp.where(wi == c, w[:, c], sel)
-        cols.append((sel >> ((off & 3) * 8)) & 255)
+        cols.append((sel >> ((off & (spw - 1)) * bits))
+                    & ((1 << bits) - 1))
     return jnp.stack(cols, axis=1)
 
 
 def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
-                  motif_ids: jax.Array, n_live=None) -> jax.Array:
+                  motif_ids: jax.Array, n_live=None,
+                  pre4=None) -> jax.Array:
     """Exact f32 scores for (position, motif) candidate pairs.
 
     ``pssms``: f32 ``[M, m_max, K]`` (zero-padded rows add 0.0 exactly);
@@ -502,6 +546,16 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     so device cost scales with the actual pair count instead of the
     static capacity the retry ratchet may have pinned far higher
     (dead entries return 0.0 instead of a clipped-garbage score).
+
+    ``pre4`` (optional ``[M * K^4]`` f32 from
+    :func:`pack_motif_group`): per-motif table of the EXACT f32
+    sequential sum of rows 0..3 for every 4-symbol prefix.  One gather
+    replaces the first four value gathers while preserving the
+    mandated add order bit-for-bit (the table entry IS the sequential
+    prefix -- `experiments/pairsum_probe.out` prefix rows; pairwise
+    association, by contrast, diverges on 73%% of windows and is
+    forbidden).  Measured -9%% on the stage
+    (``experiments/rescore_probe3.out``, ``prefix4``).
     """
     m_max = pssms.shape[1]
     k = pssms.shape[2]
@@ -511,18 +565,31 @@ def rescore_multi(seq: jax.Array, pssms: jax.Array, positions: jax.Array,
     # per row per j).  Gather volume drops K-fold; the adds still run
     # in ascending-j order over the value columns, so f32 parity with
     # score_position is preserved (selection is exact either way).
-    # Window symbols read from int32-packed words ((m+6)//4 gathers
-    # instead of m: the two gather streams split the stage cost ~50/50
-    # at 8 ns/gather, measured in experiments/rescore_probe.py).
+    # Window symbols read from int32-packed words -- nibble-packed
+    # (8/word) for ranks < 16, byte-packed otherwise; the window and
+    # PSSM gather streams split the stage cost ~50/50 at ~8 ns/gather
+    # (experiments/rescore_probe{,3}.py).
+    start = 4 if (pre4 is not None and m_max >= 4 and k <= 8) else 0
     jj = jnp.arange(m_max, dtype=jnp.int32)
     flat = pssms.reshape(-1)
-    words = pack_words(seq)
+    nib = k <= 16
+    words = pack_nibbles(seq) if nib else pack_words(seq)
+    spw = 8 if nib else 4
 
     def block(args):
         pos_b, mo_b = args
         safe = jnp.clip(pos_b, 0, lp - 1)
-        sym = gather_windows(words, safe, m_max)     # [blk, m_max]
+        sym = gather_windows(words, safe, m_max, spw=spw)  # [blk, m]
         base = mo_b.astype(jnp.int32) * (m_max * k)
+        if start:
+            code = ((sym[:, 0] * k + sym[:, 1]) * k
+                    + sym[:, 2]) * k + sym[:, 3]
+            acc = pre4[mo_b.astype(jnp.int32) * (k ** 4) + code]
+            val = flat[base[:, None] + jj[None, start:] * k
+                       + sym[:, start:]]
+            for j in range(m_max - start):
+                acc = acc + val[:, j]
+            return acc
         val = flat[base[:, None] + jj[None, :] * k + sym]
         acc = val[:, 0]
         for j in range(1, m_max):
@@ -681,7 +748,8 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
                              m_max: int, k: int, dense: bool = False,
                              cap_hits: int | None = None,
                              filters_fine=None, widths=None,
-                             filters_i8=None, rsplits=None):
+                             filters_i8=None, rsplits=None,
+                             pre4=None):
     """Fused-prefilter variant of :func:`scan_multi_segment`.
 
     Uses the Pallas MXU any-candidate prefilter (:mod:`.multi_kernel`):
@@ -693,7 +761,8 @@ def scan_multi_segment_fused(seq, off, n_valid_here, filters_t, pssms,
     chunk = jax.lax.dynamic_slice(seq, (off,), (chunk_len,))
     return scan_multi_core(chunk, n_valid_here, filters_t, pssms,
                            thresholds, cap, m_max, k, dense, cap_hits,
-                           filters_fine, widths, filters_i8, rsplits)
+                           filters_fine, widths, filters_i8, rsplits,
+                           pre4)
 
 
 def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
@@ -701,7 +770,8 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
                     cap_hits: int | None = None, filters_fine=None,
                     widths: tuple[int, ...] | None = None,
                     filters_i8=None,
-                    rsplits: tuple[int, ...] | None = None):
+                    rsplits: tuple[int, ...] | None = None,
+                    pre4=None):
     """Fused multi-motif scan body on an in-register chunk (shared by
     the single-chip segment loop and the mesh shard path).
 
@@ -791,7 +861,9 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
     else:
         filt_bf = filters_t.astype(jnp.bfloat16)
 
-    pwords = pack_words(chunk)
+    nib = k <= 16  # nibble-pack the windows for DNA-sized ranks
+    pwords = pack_nibbles(chunk) if nib else pack_words(chunk)
+    spw = 8 if nib else 4
 
     def phase_c(pos_blk):
         """Per-motif hit words for one block of candidate positions.
@@ -801,7 +873,7 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
         folded filters -> part = score - t, exactly."""
         blk = pos_blk.shape[0]
         safe = jnp.clip(pos_blk, 0, chunk_len - 1)
-        win = gather_windows(pwords, safe, m_max)  # [blk, m_max]
+        win = gather_windows(pwords, safe, m_max, spw=spw)  # [blk, m]
         oh = win[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, lanes), 2)
         pad_rows = n_blocks * rpb - m_max
@@ -982,7 +1054,7 @@ def scan_multi_core(chunk, n_valid_here, filters_t, pssms, thresholds,
             rsplits, rpb_r)
     else:
         fscores = rescore_multi(chunk, pssms, positions, motif_ids,
-                                n_live=pair_count)
+                                n_live=pair_count, pre4=pre4)
     keep = (
         (pair_idx < flat_n)
         & (positions < n_valid_here[0, motif_ids])

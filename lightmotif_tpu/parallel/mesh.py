@@ -403,19 +403,20 @@ def sharded_argmax(
 def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
                         filters_fine, chunk, cap, cap_hits, m_max, k,
                         mesh_holder, dense=False, widths=None,
-                        filters_i8=None, rsplits=None):
+                        filters_i8=None, rsplits=None, pre4=None):
     from ..ops import multi
 
     mesh = mesh_holder.mesh
 
     def local(shard, filters_t, pssms, thresholds, n_valid_g,
-              filters_fine, filters_i8):
+              filters_fine, filters_i8, pre4):
         d = jax.lax.axis_index("genome")
         seq = shard[0]
         nv = jnp.clip(n_valid_g - d * chunk, 0, chunk)  # [1, M_pad]
         counts, packed = multi.scan_multi_core(
             seq, nv, filters_t, pssms, thresholds, cap, m_max, k,
-            dense, cap_hits, filters_fine, widths, filters_i8, rsplits)
+            dense, cap_hits, filters_fine, widths, filters_i8, rsplits,
+            pre4)
         packed = packed.at[0].add(d * chunk)
         # replicate counters so every host process of a multi-host mesh
         # takes identical retry decisions
@@ -425,11 +426,11 @@ def _sharded_multi_impl(shards, filters_t, pssms, thresholds, n_valid_g,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("genome"), P(), P(), P(), P(), P(), P()),
+        in_specs=(P("genome"), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P("genome")),
         check_vma=False,  # pallas_call output has no vma annotation
     )(shards, filters_t, pssms, thresholds, n_valid_g, filters_fine,
-      filters_i8)
+      filters_i8, pre4)
 
 
 @functools.partial(
@@ -592,6 +593,8 @@ class ShardedMultiScanner:
                     "filters8": (jnp.asarray(g["f_hi8"]),
                                  jnp.asarray(g["f_lo8"]),
                                  jnp.asarray(g["adj"])),
+                    "pre4": (None if g["pre4"] is None
+                             else jnp.asarray(g["pre4"])),
                 })
         self._dense = []
         for i in dense_idx:
@@ -688,7 +691,7 @@ class ShardedMultiScanner:
                 st["shards"], None, grp["pssm"], grp["th"], nv,
                 grp["filters"], st["chunk"], g_cap, g_cap_hits,
                 grp["m_bucket"], k, holder, dense, grp["widths"],
-                grp["filters8"], None)
+                grp["filters8"], None, grp["pre4"])
             width = head_width(self._head_hint.get(gi, 0),
                                g_cap_hits)
             head = _head_slices(packed, width)

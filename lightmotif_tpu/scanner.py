@@ -757,6 +757,8 @@ class MultiScanner:
                                   jnp.asarray(g["adj"])),
                         "pssm": jnp.asarray(g["pssm"]),
                         "th": jnp.asarray(g["th"]),
+                        "pre4": (None if g["pre4"] is None
+                                 else jnp.asarray(g["pre4"])),
                     })
             dev["dm"] = jnp.asarray(self.dm_stack)
             dev["pssm"] = jnp.asarray(self.pssm_stack)
@@ -785,7 +787,7 @@ class MultiScanner:
                     None, group["pssm"], group["th"],
                     chunk_len, cap, group["m_max"], k, dense,
                     cap_hits, group["filt16"], group["widths"],
-                    group["filt8"], None)
+                    group["filt8"], None, group["pre4"])
             return multi.scan_multi_segment(
                 data, np.int32(off), jnp.asarray(n_here), dm_dev,
                 pssm_dev, len_dev, ts_dev, th_dev, chunk_len,

@@ -1225,3 +1225,82 @@ def test_ragged_core_with_rsplits_parity():
     finally:
         kernels.INTERPRET = False
         jax.clear_caches()
+
+
+def test_rescore_prefix4_bit_parity():
+    """Round-5 lever: the prefix-4 table rescore (one gather holding
+    the EXACT f32 sequential sum of rows 0..3) must be bit-identical
+    to the plain ascending-j rescore and to score_position, for every
+    motif length incl. m < 4 zero-padded rows and wildcard symbols."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import multi
+
+    rng = np.random.default_rng(0x5EED)
+    motifs = []
+    for m in (3, 6, 15, 33):
+        sites = ["".join("ACTG"[c] for c in rng.integers(0, 4, size=m))
+                 for _ in range(4)]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    k = 5
+    stack, lengths = multi.stack_motifs(
+        [np.asarray(p.data, np.float32) for p in motifs], k)
+    m_max = int(lengths.max())
+
+    # pre4 built exactly like pack_motif_group does
+    codes = np.arange(k ** 4)
+    pre4 = stack[:, 0, :][:, codes // k ** 3 % k].astype(np.float32)
+    for j, sj in ((1, codes // k ** 2 % k), (2, codes // k % k),
+                  (3, codes % k)):
+        pre4 = pre4 + stack[:, j, :][:, sj]
+    pre4 = jnp.asarray(pre4.reshape(-1))
+
+    # sequence with wildcards sprinkled in
+    data = rng.integers(0, 4, size=400, dtype=np.uint8)
+    data[rng.integers(0, 400, size=12)] = 4  # N
+    seq = EncodedSequence(data)
+    lp = len(seq)
+
+    pos, mo = [], []
+    for mi, p in enumerate(motifs):
+        n = lp - len(p) + 1
+        pos.extend(range(n))
+        mo.extend([mi] * n)
+    pos = np.asarray(pos, np.int32)
+    mo = np.asarray(mo, np.int32)
+
+    args = (jnp.asarray(data.astype(np.int8)), jnp.asarray(stack),
+            jnp.asarray(pos), jnp.asarray(mo))
+    plain = np.asarray(multi.rescore_multi(*args))
+    with_pre = np.asarray(multi.rescore_multi(*args, pre4=pre4))
+    assert np.array_equal(
+        plain.view(np.int32), with_pre.view(np.int32))
+    want = np.asarray(
+        [motifs[m].score_position(seq, int(p))
+         for p, m in zip(pos, mo)], np.float32)
+    assert np.array_equal(with_pre.view(np.int32), want.view(np.int32))
+
+
+def test_gather_windows_nibble_parity():
+    """Nibble-packed window gathers read the same symbols as the byte
+    packing for every window offset (spw=8 vs spw=4 vs direct)."""
+    import jax.numpy as jnp
+
+    from lightmotif_tpu.ops import multi
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 5, size=333, dtype=np.int8)
+    dev = jnp.asarray(data)
+    words4 = multi.pack_words(dev)
+    words8 = multi.pack_nibbles(dev)
+    for m in (1, 7, 16, 33):
+        pos = np.arange(0, 333 - m, dtype=np.int32)
+        w4 = np.asarray(multi.gather_windows(
+            words4, jnp.asarray(pos), m))
+        w8 = np.asarray(multi.gather_windows(
+            words8, jnp.asarray(pos), m, spw=8))
+        direct = np.stack([data[pos + j] for j in range(m)], axis=1)
+        assert np.array_equal(w4, direct)
+        assert np.array_equal(w8, direct)
