@@ -184,6 +184,7 @@ def secondary_metrics(pssm, seq, genome_len):
             out["database_scan_wall_s"] = round(best, 3)
             out["database_scan_wall_median_s"] = round(
                 sorted(walls)[len(walls) // 2], 3)
+            out.update(_database_50mbp(pssms, ths))
             out["database_scan_hits"] = int(len(mo_ids))
             out["database_scan_motifs_x_strands"] = len(pssms)
             out["database_scan_gpos_motif_per_s"] = round(gpm / 1e9, 1)
@@ -191,6 +192,53 @@ def secondary_metrics(pssm, seq, genome_len):
                 gpm / BASELINE_POS_PER_S, 1)
     except Exception as e:  # pragma: no cover - best effort
         out["database_error"] = repr(e)[:120]
+    return out
+
+
+def _database_50mbp(pssms, ths):
+    """Production-scale secondary: 50 Mbp genome x the whole database.
+
+    Exercises the multi-segment fused path (6 segments of DEFAULT_
+    SEGMENT, one compiled program each, ONE counters+heads fetch); the
+    fixed per-scan overhead (RTT + transfer legs) amortizes, so the
+    per-motif rate runs well above the E. coli row.  The deterministic
+    seed-0xB16 genome's exact-hit count (769,464) is the content-
+    dependent parity anchor -- the same count benchmarks/run.py's
+    ``biggenome`` row verifies per-motif against the single-motif
+    Scanner; any kernel/threshold regression moves it and fails the
+    bench loudly instead of shipping a wrong number.
+    """
+    out = {}
+    try:
+        from lightmotif_tpu import EncodedSequence
+        from lightmotif_tpu.scanner import MultiScanner
+
+        n = 50_000_000
+        rng = np.random.default_rng(0xB16)
+        big = EncodedSequence(
+            rng.integers(0, 4, size=n, dtype=np.int8).astype(np.uint8))
+        ms = MultiScanner(pssms, thresholds=ths + ths)
+        mo, _, _ = ms.scan_arrays(big)  # warm: upload + program reuse
+        if len(mo) != 769_464:
+            out["database_50mbp_error"] = (
+                f"hit-count anchor failed: {len(mo)}")
+            return out
+        walls = []
+        for i in range(3):
+            if i:
+                time.sleep(0.3)
+            t0 = time.perf_counter()
+            ms.scan_arrays(big)
+            walls.append(time.perf_counter() - t0)
+        best = min(walls)
+        gpm = n * len(pssms) / best
+        out["database_50mbp_wall_s"] = round(best, 3)
+        out["database_50mbp_hits"] = int(len(mo))
+        out["database_50mbp_gpos_motif_per_s"] = round(gpm / 1e9, 1)
+        out["database_50mbp_vs_avx2_whole_scan"] = round(
+            gpm / BASELINE_POS_PER_S, 1)
+    except Exception as e:  # pragma: no cover - best effort
+        out["database_50mbp_error"] = repr(e)[:120]
     return out
 
 
