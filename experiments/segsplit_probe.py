@@ -39,7 +39,7 @@ def main():
     cfgs = [(None, 1 << 23), ("2seg", 1 << 22), ("5seg", 1 << 20)]
     scanners, base_hits = {}, None
     for name, seg_cap in cfgs:
-        scanner_mod.DEFAULT_SEGMENT = seg_cap
+        MultiScanner.SEGMENT_CAP = seg_cap  # (shipped default: 1<<22)
         ms = MultiScanner(pssms, thresholds=ths + ths)
         ids, _, _ = ms.scan_arrays(seq)   # warm (compile on first cfg)
         ms.scan_arrays(seq)               # settle sticky heads
@@ -47,12 +47,20 @@ def main():
             base_hits = len(ids)
         assert len(ids) == base_hits, (name, len(ids), base_hits)
         scanners[name] = ms
+    # Per-config STEADY blocks: alternating scanners every trial makes
+    # every reading pay a program/buffer switch (~2x the steady wall --
+    # segsplit_probe3.out read 0.31 s while bench.py's single-scanner
+    # loop read 0.155 s minutes earlier).  Cycle config blocks twice;
+    # within a block skip the first scan (it pays the switch).
     walls = {name: [] for name, _ in cfgs}
-    for _ in range(6):
+    for _ in range(2):
         for name, _ in cfgs:
-            t0 = time.perf_counter()
-            scanners[name].scan_arrays(seq)
-            walls[name].append(time.perf_counter() - t0)
+            block = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                scanners[name].scan_arrays(seq)
+                block.append(time.perf_counter() - t0)
+            walls[name].extend(block[1:])
     for name, _ in cfgs:
         w = sorted(walls[name])
         print(f"{name}: hits={base_hits} best={w[0]:.4f} "

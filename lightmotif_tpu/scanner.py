@@ -551,6 +551,21 @@ class MultiScanner:
     #: elements) so device memory stays bounded for big motif sets.
     MAX_SEGMENT_ELEMS = 128 * 1024 * 1024
 
+    #: Fused-path segment cap for genomes LARGER than one
+    #: DEFAULT_SEGMENT.  Multi-segment genomes pipeline: every
+    #: program queues back-to-back, ONE counters+heads fetch covers
+    #: all of them, and each segment's hit-head transfer overlaps the
+    #: next segment's compute -- the 50 Mbp biggenome row measured
+    #: 1.117 s at 6 segments vs 1.009 s at 12 (226x AVX2).  Genomes
+    #: that fit ONE DEFAULT_SEGMENT stay unsplit: a 2-way E. coli
+    #: split measured a steady LOSS (0.271 vs 0.155 s,
+    #: experiments/bench_r5_check{2,3}.out) -- the second program's
+    #: fixed service cost is not hidden when there is no third
+    #: segment behind it.  The plain single-motif Scanner keeps
+    #: DEFAULT_SEGMENT outright: it fetches per segment, so splitting
+    #: would add round trips instead of overlapping them.
+    SEGMENT_CAP = 1 << 22
+
     #: Motifs per fused-prefilter pass.  Whole databases scan the
     #: device-cached genome once per group; per-group capacities
     #: ratchet and the phase-C/rescore live-block loops bound the
@@ -701,7 +716,16 @@ class MultiScanner:
         else:
             density = max(mcount, 1) + (m_max * k + 1) // 2
         seg = max(unit, (self.MAX_SEGMENT_ELEMS // density) // unit * unit)
-        seg = min(seg, DEFAULT_SEGMENT, xla_ops.pad_length(n_total, unit))
+        # adaptive segmentation: genomes that fit one DEFAULT_SEGMENT
+        # scan as ONE program (an E. coli-scale 2-way split measured a
+        # steady-state LOSS, 0.271 vs 0.155 s -- the extra program's
+        # fixed service cost is not hidden); larger genomes split at
+        # SEGMENT_CAP so each segment's hit-head transfer overlaps the
+        # next segment's compute (50 Mbp: 6 -> 12 segments measured
+        # 1.117 -> 1.009 s = 226x AVX2)
+        cap = (self.SEGMENT_CAP if n_total > DEFAULT_SEGMENT
+               else DEFAULT_SEGMENT)
+        seg = max(unit, min(seg, cap, xla_ops.pad_length(n_total, unit)))
         chunk_len = seg + unit
 
         n_segments = -(-n_total // seg)

@@ -1304,3 +1304,48 @@ def test_gather_windows_nibble_parity():
         direct = np.stack([data[pos + j] for j in range(m)], axis=1)
         assert np.array_equal(w4, direct)
         assert np.array_equal(w8, direct)
+
+
+def test_multi_segment_fused_parity(monkeypatch):
+    """SEGMENT_CAP splits a genome into several fused segments (each
+    program queues back-to-back, one fetch); hit sets must equal the
+    single-segment scan and the host oracle across the seams."""
+    import jax
+
+    from lightmotif_tpu.ops import kernels
+    from lightmotif_tpu.scanner import MultiScanner
+
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    rng = np.random.default_rng(0x5E6)
+    motifs = []
+    for m in (7, 15, 24):
+        sites = ["".join("ACTG"[c] for c in rng.integers(0, 4, size=m))
+                 for _ in range(4)]
+        cm = CountMatrix.from_sequences(
+            EncodedSequence.encode(s) for s in sites)
+        motifs.append(cm.to_freq(0.1).to_weight(None).to_scoring())
+    ths = [0.6 * float(p.max_score()) for p in motifs]
+    seq = EncodedSequence(
+        rng.integers(0, 4, size=150_000, dtype=np.uint8))
+
+    def run():
+        ms = MultiScanner(motifs, seq, thresholds=ths)
+        return sorted((h.motif, h.position, np.float32(h.score))
+                      for h in ms.collect())
+
+    one_seg = run()
+    # adaptive rule: genomes within one DEFAULT_SEGMENT stay unsplit,
+    # so force splitting by shrinking both knobs (seg clamps to the
+    # kernel-geometry unit -> ~5 segments on 150 kbp)
+    from lightmotif_tpu import scanner as scanner_mod
+    monkeypatch.setattr(scanner_mod, "DEFAULT_SEGMENT", 1)
+    monkeypatch.setattr(MultiScanner, "SEGMENT_CAP", 1)
+    many_seg = run()
+    assert one_seg == many_seg
+    want = []
+    for mi, (p, t) in enumerate(zip(motifs, ths)):
+        sc = np.asarray(p.score_host(seq))
+        want += [(mi, int(x), np.float32(sc[x]))
+                 for x in np.nonzero(sc >= np.float32(t))[0]]
+    assert one_seg == sorted(want)
