@@ -198,8 +198,9 @@ def secondary_metrics(pssm, seq, genome_len):
 def _database_50mbp(pssms, ths):
     """Production-scale secondary: 50 Mbp genome x the whole database.
 
-    Exercises the multi-segment fused path (6 segments of DEFAULT_
-    SEGMENT, one compiled program each, ONE counters+heads fetch); the
+    Exercises the multi-segment fused path (SEGMENT_CAP-sized
+    segments, one compiled program each, ONE counters+heads fetch,
+    hit-head transfers overlapping later segments' compute); the
     fixed per-scan overhead (RTT + transfer legs) amortizes, so the
     per-motif rate runs well above the E. coli row.  The deterministic
     seed-0xB16 genome's exact-hit count (769,464) is the content-

@@ -67,6 +67,24 @@ def record(name, metric, value, unit, note="", vs_baseline=None,
     print(json.dumps(flat), flush=True)
 
 
+def _parse_cli_timing(stderr: str) -> dict:
+    """Parse the CLI's ``cli_timing`` stderr event (one dict per run),
+    deriving ``first_flight_s`` = the remainder of ``startup_s`` after
+    the three measured legs; ``{}`` when the event is absent."""
+    t = {}
+    for line in stderr.splitlines():
+        if '"event": "cli_timing"' in line:
+            t = json.loads(line)
+    if t:
+        legs = [t.get("imports_s"), t.get("device_init_s"),
+                t.get("prep_s")]
+        t["first_flight_s"] = (
+            round(t["startup_s"] - sum(legs), 2)
+            if t.get("startup_s") is not None and None not in legs
+            else None)
+    return t
+
+
 def build_genome(seed=0xECC011, n=ECOLI_LENGTH):
     rng = np.random.default_rng(seed)
     return rng.integers(0, 4, size=n, dtype=np.int8)
@@ -661,11 +679,11 @@ def bench_jasparfull(ctx):
 def bench_biggenome(ctx):
     """Production-scale sequence: a 50 Mbp genome (human-chromosome
     order of magnitude) x the whole JASPAR2024 database x 2 strands.
-    Exercises the multi-segment fused path (50 Mbp > DEFAULT_SEGMENT =
-    8.4 Mbp -> 6 segments, one compiled program each, ONE counters+head
-    fetch for all of them) with the genome resident in HBM across
-    scans.  Parity: hits of a sampled motif must equal the single-motif
-    Scanner on the same 50 Mbp sequence."""
+    Exercises the multi-segment fused path (50 Mbp > DEFAULT_SEGMENT
+    -> segments of SEGMENT_CAP, one compiled program each, ONE
+    counters+heads fetch for all of them) with the genome resident in
+    HBM across scans.  Parity: hits of a sampled motif must equal the
+    single-motif Scanner on the same 50 Mbp sequence."""
     from lightmotif_tpu import EncodedSequence, load
     from lightmotif_tpu.scanner import MultiScanner, Scanner
 
@@ -697,11 +715,15 @@ def bench_biggenome(ctx):
     got = sorted(zip(pos[m_sel].tolist(), sc[m_sel].tolist()))
     assert got == want, "biggenome parity failed"
     gpm = n * len(pssms) / best
+    from lightmotif_tpu import scanner as scanner_mod
+    seg_cap = (MultiScanner.SEGMENT_CAP
+               if n > scanner_mod.DEFAULT_SEGMENT
+               else scanner_mod.DEFAULT_SEGMENT)
     record("biggenome",
            f"50 Mbp genome x all {len(fwd)} JASPAR2024 motifs x 2 "
            "strands (wall)", round(best, 3), "s",
            f"{len(mo)} exact hits @ p<=1e-6 across "
-           f"{-(-n // (1 << 23))} fused segments; "
+           f"~{-(-n // seg_cap)} fused segments; "
            f"{gpm / 1e9:.0f} Gpos*motif/s steady (genome + packed DB "
            "device-cached); parity vs Scanner on the longest motif",
            vs_baseline=round(gpm / AVX2_BASELINE, 1))
@@ -840,10 +862,7 @@ def bench_clistream(ctx):
         proc = subprocess.run(cmd, env=env, stderr=subprocess.PIPE, text=True)
         walls.append(time.perf_counter() - t0)
         assert proc.returncode == 0, proc.stderr[-2000:]
-        timing[run] = {}
-        for line in proc.stderr.splitlines():
-            if '"event": "cli_timing"' in line:
-                timing[run] = json.loads(line)
+        timing[run] = _parse_cli_timing(proc.stderr)
         rss_mb = max(rss_mb, _cli_rss_mb(proc.stderr) or 0.0)
         with open(out) as fh:
             n = sum(1 for _ in fh) - 1
@@ -901,25 +920,12 @@ def bench_clifull(ctx):
         # the startup decomposition (imports / device handshake / motif
         # prep / first flight) goes into results.json every run so a
         # later regression is distinguishable from axon-service noise
-        # (round-4 verdict item 8); first_flight_s is the remainder of
-        # startup_s after the three measured legs.
-        for line in proc.stderr.splitlines():
-            if '"event": "cli_timing"' in line:
-                t = json.loads(line)
-                legs = [t.get("imports_s"), t.get("device_init_s"),
-                        t.get("prep_s")]
-                first = (round(t["startup_s"] - sum(legs), 2)
-                         if t.get("startup_s") is not None
-                         and None not in legs else None)
-                timing[run] = {
-                    "imports_s": t.get("imports_s"),
-                    "device_init_s": t.get("device_init_s"),
-                    "prep_s": t.get("prep_s"),
-                    "first_flight_s": first,
-                    "startup_s": t.get("startup_s"),
-                    "wall_s": round(walls[-1], 1),
-                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                }
+        # (round-4 verdict item 8)
+        t = _parse_cli_timing(proc.stderr)
+        if t:
+            t["wall_s"] = round(walls[-1], 1)
+            t["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+            timing[run] = t
         with open(out) as fh:
             next(fh)
             n_hits = 0

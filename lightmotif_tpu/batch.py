@@ -125,11 +125,13 @@ class BatchReducer:
         # pinned slot geometry (pad-to-slot): a streaming consumer
         # fixes (slot, n_slots) once and every rebind() reuses the one
         # compiled program -- the same persistent-rebind pattern as
-        # MultiBatchScanner.  Unpinned geometry ratchets instead of
-        # tracking each batch exactly, so shapes only ever grow.
+        # MultiBatchScanner.  Each dimension pins independently; an
+        # unpinned dimension ratchets instead of tracking each batch
+        # exactly, so shapes only ever grow.
         self.slot = int(slot) if slot else 0
         self.n = int(n_slots) if n_slots else 0
-        self._pinned = bool(slot or n_slots)
+        self._pin_slot = bool(slot)
+        self._pin_n = bool(n_slots)
         self._pssm_dev = jax.device_put(
             np.asarray(pssm.data, np.float32))
         self._flat = self._n_valid = None
@@ -155,8 +157,8 @@ class BatchReducer:
         self._lengths = np.asarray([len(s) for s in seqs], np.int64)
         self._n_records = len(seqs)
         need_slot = int(self._lengths.max()) + max(m - 1, 0)
-        if self._pinned and (need_slot > self.slot
-                             or self._n_records > self.n):
+        if ((self._pin_slot and need_slot > self.slot)
+                or (self._pin_n and self._n_records > self.n)):
             raise ValueError(
                 f"batch needs slot={need_slot} x n={self._n_records}, "
                 f"pinned geometry is slot={self.slot} x n={self.n}")

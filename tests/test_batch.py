@@ -189,3 +189,27 @@ def test_batch_reducer_rebind_reuses_executable():
     # oversized batches fail loudly instead of silently recompiling
     with pytest.raises(ValueError):
         br.rebind(_random_records(rng, 3, lo=200, hi=300))
+
+
+def test_batch_reducer_partial_pinning():
+    """Pinning only one geometry dimension ratchets the other instead
+    of rejecting every batch (review finding, round 5)."""
+    from lightmotif_tpu.batch import BatchReducer
+
+    rng = np.random.default_rng(44)
+    pssm = build_pssm()
+    m = len(pssm)
+    br = BatchReducer(pssm, n_slots=8)  # slot unpinned -> ratchets
+    recs = _random_records(rng, 4, lo=m, hi=40)
+    br.rebind(recs)
+    mx = br.max()
+    assert mx.shape == (4,)
+    host = np.asarray(pssm.score_host(recs[0]))
+    assert np.float32(mx[0]) == host.max()
+    with pytest.raises(ValueError):
+        br.rebind(_random_records(rng, 9, lo=m, hi=40))  # n pinned
+    br2 = BatchReducer(pssm, slot=60 + m - 1)  # n unpinned
+    br2.rebind(_random_records(rng, 3, lo=m, hi=60))
+    assert br2.max().shape == (3,)
+    with pytest.raises(ValueError):
+        br2.rebind(_random_records(rng, 2, lo=100, hi=120))
