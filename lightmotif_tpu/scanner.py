@@ -50,14 +50,20 @@ HEAD_SLOTS = 8192
 def head_width(hint: int, cap: int) -> int:
     """Hit-head fetch width for a sticky ``n_kept`` hint.
 
-    Snapped to a coarse 8x ladder (8192, 65536, 524288, ...) so shape
-    churn -- every distinct slice width is a separate compiled program
-    on the remote chip -- is bounded to a handful of programs per
-    geometry, while the head still covers the hint within 8x.
+    Snapped to a +25% ladder (8192, 16384, 24576, 32768, 40960, 51200,
+    64000, 80000, 100000, ...) so shape churn -- every distinct slice
+    width is a separate compiled program on the remote chip -- stays
+    bounded (~12 widths to 128k, logarithmic beyond) while the head
+    transfer wastes at most 25% over the hint.  The previous 8x ladder
+    (8192, 65536, 524288) shipped up to 1.83x the live hit payload on
+    whole-database scans: 71,730 hits fetched a 131,072-slot head =
+    1.57 MB at the tunnel's 15-38 MB/s, ~10 ms of pure padding
+    (experiments/headfetch_probe2.out: best wall 0.141 -> 0.131 s on
+    jasparfull with the 81,920-slot head).
     """
     width = HEAD_SLOTS
     while width < hint:
-        width <<= 3
+        width += max(HEAD_SLOTS, width >> 2)
     return min(cap, width)
 
 
@@ -820,7 +826,18 @@ class MultiScanner:
         def launch_fused(gi, group, off, n_here, cap, cap_hits, dense):
             counts, packed = run_one(off, n_here, cap, cap_hits, dense,
                                      group)
-            head = packed[:, : self._head_slots(gi, cap_hits)]
+            w = self._head_slots(gi, cap_hits)
+            # motif-lane ids < GROUP_MOTIFS fit u16: the head's middle
+            # row ships at half width (experiments/headfetch_probe2.out
+            # measured a further ~4 ms on jasparfull; the score row
+            # must stay exact f32 bits -- recomputing 71k scores on the
+            # host costs 50 ms, more than the 4 bytes/slot it saves).
+            # Ungrouped entries carry GLOBAL motif ids: cast only when
+            # they provably fit.
+            mrow = packed[1, :w]
+            if group is not None or self.lengths.size <= 0xFFFF:
+                mrow = mrow.astype(jnp.uint16)
+            head = (packed[0, :w], mrow, packed[2, :w])
             return {
                 "kind": "fused", "gi": gi, "group": group, "off": off,
                 "n_here": n_here, "cap": cap, "cap_hits": cap_hits,
@@ -957,7 +974,14 @@ class MultiScanner:
                 self._head_hint.get(key, 0) >> 1, n_kept)
             if not n_kept:
                 return e, None
-            if n_kept <= head_h.shape[1]:
+            # fused heads are (pos i32, motif u16, score-bits i32)
+            # tuples (half-width motif row); dense heads a [2, w] i32
+            # array -- either way ``arr[i]`` below yields row i
+            if isinstance(head_h, (list, tuple)):
+                if n_kept <= head_h[0].shape[0]:
+                    return e, tuple(np.asarray(h[:n_kept])
+                                    for h in head_h)
+            elif n_kept <= head_h.shape[1]:
                 return e, np.asarray(head_h[:, :n_kept])
             return e, np.asarray(jax.device_get(e["packed"][:, :n_kept]))
 

@@ -910,7 +910,12 @@ def test_head_hint_covers_steady_state_hits(genome):
     for e in token["entries"]:
         key = e["gi"] if e["kind"] == "fused" else ("dense", e["i"])
         hint = ms._head_hint.get(key, 0)
-        assert e["head"].shape[1] >= min(hint, e.get("cap_hits", e["cap"]))
+        head = e["head"]
+        # fused heads are (pos i32, motif u16, score-bits i32) tuples;
+        # dense heads stay [rows, w] arrays
+        width = head[0].shape[0] if isinstance(head, tuple) \
+            else head.shape[1]
+        assert width >= min(hint, e.get("cap_hits", e["cap"]))
     # and the results are unchanged (head-or-full protocol is lossless)
     mo2, pos2, sc2 = ms._fetch_raw(token)
     assert np.array_equal(mo, mo2)
