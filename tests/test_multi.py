@@ -1354,3 +1354,29 @@ def test_multi_segment_fused_parity(monkeypatch):
         want += [(mi, int(x), np.float32(sc[x]))
                  for x in np.nonzero(sc >= np.float32(t))[0]]
     assert one_seg == sorted(want)
+
+
+def test_head_width_ladder_properties():
+    """The +25% head-width ladder: always covers the hint, never
+    over-fetches more than 25% past it (above the 8192 floor), and
+    keeps the number of distinct widths -- each one a separate
+    compiled slice program on the remote chip -- logarithmically
+    bounded (scanner.py::head_width)."""
+    from lightmotif_tpu.scanner import HEAD_SLOTS, head_width
+
+    cap = 1 << 22
+    widths = set()
+    for hint in [0, 1, HEAD_SLOTS, HEAD_SLOTS + 1, 20_000, 71_730,
+                 100_000, 500_000, 1_000_000, cap]:
+        w = head_width(hint, cap)
+        widths.add(w)
+        assert w >= min(hint, cap)  # covers the hint (up to cap)
+        if hint > HEAD_SLOTS and w < cap:
+            # waste bound: the previous rung was < hint, and rungs
+            # grow by max(HEAD_SLOTS, 25%)
+            assert w <= max(hint + HEAD_SLOTS, int(hint * 1.25) + 1)
+    # program-count bound: every width to 128k slots is one of ~12
+    all_widths = {head_width(h, cap) for h in range(0, 131072, 997)}
+    assert len(all_widths) <= 14
+    # capacity clamp
+    assert head_width(10 * cap, cap) == cap
